@@ -1,0 +1,98 @@
+"""Shared pieces for the diffusion processes: losses and on-device trajectory capture."""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def make_loss_fn(loss_type: str, reduction: str) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """L1/L2 loss with mean/sum reduction.
+
+    Parity: torch nn.L1Loss/nn.MSELoss with `reduction` from the config's
+    `model.lr_reduction` (reference ddpm diffusion.py:103-109; the SR3 variant
+    hardcodes 'sum': sr3_modules/diffusion.py:84-90).
+    """
+    if loss_type == "l1":
+        elem = lambda a, b: jnp.abs(a - b)
+    elif loss_type == "l2":
+        elem = lambda a, b: (a - b) ** 2
+    else:
+        raise NotImplementedError(f"loss_type={loss_type}")
+
+    if reduction == "mean":
+        red = jnp.mean
+    elif reduction == "sum":
+        red = jnp.sum
+    else:
+        raise NotImplementedError(f"reduction={reduction}")
+
+    return lambda a, b: red(elem(a, b))
+
+
+def capture_plan(markers: Sequence[int], sample_inter: int, include_last: bool) -> Tuple[List[int], List[int]]:
+    """Static plan of which loop steps get recorded into the trajectory buffer.
+
+    `markers[k]` is the reference's loop variable at loop iteration k — it
+    counts DOWN for DDPM (i = T-1..0, ddpm diffusion.py:215-218) and UP for
+    InDI (idx = 0..N-1, indi.py:86-90). A step is captured when
+    `marker % sample_inter == 0`, plus the final iteration when
+    `include_last` (InDI only).
+
+    Returns (flags, slots): flags[k] == 1 if iteration k is captured; slots[k]
+    is the destination frame index (slot 0 is reserved for the pre-loop frame).
+    """
+    flags, slots = [], []
+    slot = 1
+    n = len(markers)
+    for k, m in enumerate(markers):
+        hit = (m % sample_inter == 0) or (include_last and k == n - 1)
+        flags.append(1 if hit else 0)
+        slots.append(slot if hit else 0)
+        if hit:
+            slot += 1
+    return flags, slots
+
+
+def scan_with_trajectory(
+    step_fn: Callable,
+    init_x: jnp.ndarray,
+    init_frame: jnp.ndarray,
+    xs,
+    flags: Sequence[int],
+    slots: Sequence[int],
+    extra_carry=None,
+):
+    """Run `step_fn` over `xs` with a fixed-size on-device trajectory buffer.
+
+    step_fn(carry_x, extra_carry, x) -> (new_x, new_extra_carry)
+
+    The buffer has 1 + sum(flags) frames; frame 0 is `init_frame` (the
+    reference seeds `ret_img` with the input/noise before the loop). Captured
+    frames are written with `lax.cond` + `dynamic_update_slice` so memory stays
+    O(n_frames), not O(n_steps).
+    """
+    n_frames = 1 + int(sum(flags))
+    frames = jnp.zeros((n_frames,) + init_x.shape, dtype=init_x.dtype)
+    frames = frames.at[0].set(init_frame)
+
+    flags_arr = jnp.asarray(flags, dtype=jnp.int32)
+    slots_arr = jnp.asarray(slots, dtype=jnp.int32)
+
+    def body(carry, inp):
+        x, extra, frames = carry
+        step_x, flag, slot = inp
+        x, extra = step_fn(x, extra, step_x)
+
+        def write(fr):
+            return jax.lax.dynamic_update_slice(fr, x[None], (slot,) + (0,) * x.ndim)
+
+        frames = jax.lax.cond(flag > 0, write, lambda fr: fr, frames)
+        return (x, extra, frames), None
+
+    (final_x, final_extra, frames), _ = jax.lax.scan(
+        body, (init_x, extra_carry, frames), (xs, flags_arr, slots_arr)
+    )
+    return final_x, final_extra, frames
