@@ -1,0 +1,85 @@
+"""Device-mesh construction + sharding helpers — the framework's parallelism layer.
+
+The reference's entire distributed story is single-process torch
+nn.DataParallel (/root/reference/model/networks.py:177-179, replicate →
+scatter → gather every step). The TPU-native equivalent is SPMD over a
+`jax.sharding.Mesh`:
+
+  * params live replicated on every chip (NamedSharding(mesh, P())),
+  * the batch is split along the leading axis (P('data', ...)),
+  * jit/GSPMD inserts the gradient `psum` over the ICI ring — there is no
+    hand-written communication backend to port.
+
+For multi-host pods, call `jax.distributed.initialize()` before `make_mesh`;
+the same code paths then span hosts (each host feeds its local shard).
+
+Axis layout: 1-D 'data' mesh is all the reference's workloads need (SURVEY.md
+§2.5); `make_mesh` accepts extra axes (e.g. ('data','model')) so tensor
+parallelism can be layered on without touching call sites.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    axis_names: Sequence[str] = ("data",),
+    axis_sizes: Optional[Tuple[int, ...]] = None,
+    devices=None,
+) -> Mesh:
+    """Build a mesh over all (or the given) devices.
+
+    Default: 1-D 'data' mesh over every visible device.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if axis_sizes is None:
+        axis_sizes = (n,) + (1,) * (len(axis_names) - 1)
+    assert int(np.prod(axis_sizes)) == n, (
+        f"axis sizes {axis_sizes} must multiply to device count {n}"
+    )
+    dev_array = np.asarray(devices).reshape(axis_sizes)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis; all other axes replicated."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Optional[Mesh], axis: str = "data"):
+    """device_put a pytree of host arrays with the batch axis sharded.
+
+    Falls back to replication when the batch size doesn't divide the mesh
+    (e.g. the reference's batch=1 validation loader).
+    """
+    if mesh is None:
+        return jax.tree_util.tree_map(jax.numpy.asarray, batch)
+
+    n = mesh.devices.size
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, batch_sharding(mesh, x.ndim, axis))
+        return jax.device_put(x, replicated_sharding(mesh))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Optional[Mesh]):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    if mesh is None:
+        return tree
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

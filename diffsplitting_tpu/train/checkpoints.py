@@ -1,0 +1,72 @@
+"""Checkpoint save/restore via orbax.
+
+Parity with the reference's checkpoint contract
+(/root/reference/model/model.py:131-173): a generator payload
+`I{iter}_E{epoch}_gen` and a trainer payload `I{iter}_E{epoch}_opt` holding
+{epoch, iter, optimizer-state}; resume is by path PREFIX (`{prefix}_gen` /
+`{prefix}_opt`). Torch .pth files become orbax checkpoint directories.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, prefix: str, params, opt_state, epoch: int, step: int):
+    """Write `<ckpt_dir>/<prefix>_gen` (params) and `<prefix>_opt` (opt)."""
+    ckptr = _checkpointer()
+    gen_path = os.path.abspath(os.path.join(ckpt_dir, f"{prefix}_gen"))
+    opt_path = os.path.abspath(os.path.join(ckpt_dir, f"{prefix}_opt"))
+    ckptr.save(gen_path, params, force=True)
+    ckptr.save(
+        opt_path,
+        {
+            "epoch": np.asarray(epoch, dtype=np.int64),
+            "iter": np.asarray(step, dtype=np.int64),
+            "optimizer": opt_state,
+        },
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    return gen_path, opt_path
+
+
+def load_checkpoint(
+    prefix_path: str,
+    params_template,
+    opt_state_template: Optional[Any] = None,
+) -> Tuple[Any, Optional[Any], int, int]:
+    """Restore from a `{prefix}_gen` / `{prefix}_opt` pair.
+
+    Returns (params, opt_state or None, epoch, step). The templates supply the
+    pytree structure/shardings (orbax restores into abstract targets).
+    """
+    ckptr = _checkpointer()
+    gen_path = os.path.abspath(f"{prefix_path}_gen")
+    abstract_params = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, params_template)
+    params = ckptr.restore(gen_path, abstract_params)
+
+    opt_state, epoch, step = None, 0, 0
+    opt_path = os.path.abspath(f"{prefix_path}_opt")
+    if opt_state_template is not None and os.path.exists(opt_path):
+        abstract_opt = {
+            "epoch": ocp.utils.to_shape_dtype_struct(np.asarray(0, dtype=np.int64)),
+            "iter": ocp.utils.to_shape_dtype_struct(np.asarray(0, dtype=np.int64)),
+            "optimizer": jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, opt_state_template
+            ),
+        }
+        restored = ckptr.restore(opt_path, abstract_opt)
+        opt_state = restored["optimizer"]
+        epoch = int(restored["epoch"])
+        step = int(restored["iter"])
+    return params, opt_state, epoch, step

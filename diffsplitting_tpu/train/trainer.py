@@ -1,0 +1,317 @@
+"""DiffusionModel — the trainer/inference wrapper around process + Flax nets.
+
+API parity with the reference's `DDPM(BaseModel)` wrapper
+(/root/reference/model/model.py): create_model(opt) →  object exposing
+feed_data / optimize_parameters / test / sample / set_loss /
+set_new_noise_schedule / get_current_log / get_current_visuals /
+save_network / load_network / print_network, plus begin_step/begin_epoch
+resume bookkeeping.
+
+TPU-native internals:
+  * a single jitted train step (value_and_grad → optax.adam → apply_updates)
+    with donated params/opt-state buffers; the only host↔device traffic per
+    step is the input batch and the scalar loss.
+  * inference = the process's `lax.scan` sampler, jitted per (shape, T);
+    trajectories stay on device until pulled by get_current_visuals.
+  * data parallelism: params replicated over a `Mesh`, batches sharded on the
+    leading axis (parallel/mesh.py) — GSPMD inserts the gradient psum
+    (replaces torch nn.DataParallel, networks.py:177-179).
+  * `finetune_norm` (model.py:26-35) freezes every parameter whose path does
+    not contain 'transformer' via an optax mask.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections import OrderedDict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffsplitting_tpu.diffusion import build_ddpm_schedule
+from diffsplitting_tpu.parallel import make_mesh, replicate, shard_batch
+from .checkpoints import load_checkpoint, save_checkpoint
+from .factory import define_generator
+
+logger = logging.getLogger("base")
+
+
+def create_model(opt, **kwargs) -> "DiffusionModel":
+    m = DiffusionModel(opt, **kwargs)
+    logger.info("Model [%s] is created.", m.__class__.__name__)
+    return m
+
+
+class DiffusionModel:
+    def __init__(self, opt, mesh=None, seed: int = 0, dtype=None, use_mesh: bool = True):
+        self.opt = opt
+        self.which = opt["model"]["which_model_G"]
+        self.process, self.nets = define_generator(opt, dtype=dtype)
+        self.base_rng = jax.random.PRNGKey(seed)
+        self._rng_counter = 0
+
+        self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
+
+        # ---------------- params init
+        model_opt = opt["model"]
+        in_ch = model_opt["unet"]["in_channel"]
+        size = model_opt["diffusion"]["image_size"]
+        x0 = jnp.zeros((1, size, size, in_ch), jnp.float32)
+        t0 = jnp.zeros((1,), jnp.float32)
+        params = {}
+        for i, (role, net) in enumerate(self.nets.items()):
+            key = jax.random.fold_in(self.base_rng, i)
+            params[role] = net.init(key, x0, t0)["params"]
+        if self.which == "joint_indi":
+            from diffsplitting_tpu.diffusion import JointInDIProcess
+
+            params["extra"] = JointInDIProcess.init_extra_params()
+        self.params = replicate(params, self.mesh)
+
+        # ---------------- optimizer
+        self.phase = opt.get("phase", "train")
+        lr = float(opt["train"]["optimizer"]["lr"]) if opt.get("train") else 1e-4
+        if model_opt.get("finetune_norm"):
+            # freeze every param whose path lacks 'transformer' (model.py:26-35)
+            tx = optax.multi_transform(
+                {"train": optax.adam(lr), "freeze": optax.set_to_zero()},
+                lambda p: jax.tree_util.tree_map_with_path(
+                    lambda path, _: "train"
+                    if any("transformer" in str(k) for k in path)
+                    else "freeze",
+                    p,
+                ),
+            )
+        else:
+            tx = optax.adam(lr)
+        self.tx = tx
+        self.opt_state = replicate(self.tx.init(self.params), self.mesh)
+
+        # ---------------- schedules + resume
+        self.log_dict = OrderedDict()
+        self.data = None
+        self.prediction = None
+        self.begin_step = 0
+        self.begin_epoch = 0
+        self.schedule_phase = None
+        self.current_sched = None  # DDPMSchedule for ddpm/sr3
+        self.current_T = None      # int for indi/joint_indi
+        self._train_step = None
+        self._infer_cache: Dict = {}
+
+        self.set_new_noise_schedule(opt["model"]["beta_schedule"]["train"], "train")
+        self.load_network()
+
+    # ------------------------------------------------------------- rng
+    def _next_rng(self):
+        self._rng_counter += 1
+        return jax.random.fold_in(self.base_rng, 0x5EED + self._rng_counter)
+
+    # ------------------------------------------------------------- schedules
+    def set_new_noise_schedule(self, schedule_opt, schedule_phase="train"):
+        """Switch train/val schedule (reference model.py:93-100).
+
+        ddpm/sr3 rebuild the schedule pytree; InDI variants only track the
+        step count (indi.py:46-47).
+        """
+        if self.schedule_phase == schedule_phase:
+            return
+        self.schedule_phase = schedule_phase
+        if self.which in ("ddpm", "sr3"):
+            self.current_sched = build_ddpm_schedule(schedule_opt)
+        else:
+            self.current_T = int(schedule_opt["n_timestep"])
+
+    def set_loss(self, device=None):
+        """No-op: loss fns are pure and built in the process (API parity)."""
+
+    # ------------------------------------------------------------- data
+    def feed_data(self, data):
+        """Host batch (numpy, NHWC) -> device, batch-sharded over the mesh."""
+        self.data = shard_batch(data, self.mesh)
+
+    # ------------------------------------------------------------- training
+    def _apply(self, role, params, x, t, train=False, rng=None):
+        net = self.nets[role]
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        return net.apply({"params": params[role]}, x, t, deterministic=not train, rngs=rngs)
+
+    def _build_train_step(self):
+        process, which = self.process, self.which
+
+        def loss_fn(params, rng, batch, sched):
+            d_rng, p_rng = jax.random.split(rng)
+            if which == "joint_indi":
+                r1, r2 = jax.random.split(d_rng)
+                d1 = lambda x, t: self._apply("net_ch1", params, x, t, train=True, rng=r1)
+                d2 = lambda x, t: self._apply("net_ch2", params, x, t, train=True, rng=r2)
+                loss, logs = process.p_losses(d1, d2, p_rng, batch, num_timesteps=sched)
+                from diffsplitting_tpu.diffusion import JointInDIProcess
+
+                logs = dict(logs, **JointInDIProcess.extra_param_logs(params["extra"]))
+            elif which == "indi":
+                d = lambda x, t: self._apply("net", params, x, t, train=True, rng=d_rng)
+                loss = process.p_losses(d, p_rng, batch, num_timesteps=sched)
+                logs = {}
+            else:  # ddpm / sr3
+                d = lambda x, t: self._apply("net", params, x, t, train=True, rng=d_rng)
+                loss = process.p_losses(d, sched, p_rng, batch)
+                logs = {}
+            return loss, logs
+
+        def step(params, opt_state, rng, batch, sched):
+            (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, rng, batch, sched
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, logs
+
+        static = (4,) if which in ("indi", "joint_indi") else ()
+        return jax.jit(step, donate_argnums=(0, 1), static_argnums=static)
+
+    def optimize_parameters(self):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        sched = self.current_sched if self.which in ("ddpm", "sr3") else self.current_T
+        rng = self._next_rng()
+        self.params, self.opt_state, loss, logs = self._train_step(
+            self.params, self.opt_state, rng, self.data, sched
+        )
+        self.log_dict["l_pix"] = float(loss)
+        for k, v in logs.items():
+            self.log_dict[k] = float(v)
+
+    # ------------------------------------------------------------- inference
+    def _infer_fn(self, kind, shape, continuous, extra=None):
+        """jitted sampler, cached per (kind, shape, T/sched-phase, continuous)."""
+        T_key = self.current_T if self.which in ("indi", "joint_indi") else (
+            self.current_sched.num_timesteps
+        )
+        key = (kind, shape, T_key, continuous, extra)
+        if key in self._infer_cache:
+            return self._infer_cache[key]
+
+        process, which = self.process, self.which
+
+        if which in ("indi", "joint_indi"):
+            T = self.current_T
+            t_start = 0.5 if which == "joint_indi" else 1.0
+            if extra is not None:
+                t_start = extra
+
+            def fn(params, x_in, rng):
+                if which == "joint_indi":
+                    d1 = lambda x, t: self._apply("net_ch1", params, x, t)
+                    d2 = lambda x, t: self._apply("net_ch2", params, x, t)
+                    return process.inference(
+                        d1, d2, rng, x_in, continuous=continuous,
+                        num_timesteps=T, t_float_start=t_start,
+                    )
+                d = lambda x, t: self._apply("net", params, x, t)
+                return process.inference(
+                    d, rng, x_in, continuous=continuous,
+                    num_timesteps=T, t_float_start=t_start,
+                )
+
+        elif kind == "sample":  # unconditional generation
+            sched = self.current_sched
+            batch_size = shape[0]
+
+            def fn(params, x_in, rng):
+                d = lambda x, t: self._apply("net", params, x, t)
+                return process.sample(d, sched, rng, batch_size=batch_size, continuous=continuous)
+
+        else:  # conditional reverse diffusion on the input
+            sched = self.current_sched
+
+            def fn(params, x_in, rng):
+                d = lambda x, t: self._apply("net", params, x, t)
+                return process.p_sample_loop(d, sched, rng, x_in, continuous=continuous)
+
+        jfn = jax.jit(fn)
+        self._infer_cache[key] = jfn
+        return jfn
+
+    def test(self, continuous=False, clip_denoised=True, t_float_start=None, **_legacy):
+        """Run the reverse process on self.data['input'] (model.py:63-76).
+
+        Accepts the reference's misspelled `continous` kw for call-site parity.
+        """
+        if "continous" in _legacy:
+            continuous = _legacy.pop("continous")
+        x_in = self.data["input"]
+        fn = self._infer_fn("test", tuple(np.shape(x_in)), continuous, extra=t_float_start)
+        self.prediction = fn(self.params, x_in, self._next_rng())
+        return self.prediction
+
+    def inference(self, x_in, continuous=False, num_timesteps=None, t_float_start=None):
+        """Direct inference on an explicit input batch (netG.inference parity)."""
+        self.data = {"input": shard_batch(x_in, self.mesh)}
+        if num_timesteps is not None and self.which in ("indi", "joint_indi"):
+            old_T = self.current_T
+            self.current_T = int(num_timesteps)
+            try:
+                return self.test(continuous=continuous, t_float_start=t_float_start)
+            finally:
+                self.current_T = old_T
+        return self.test(continuous=continuous, t_float_start=t_float_start)
+
+    def sample(self, batch_size=1, continuous=False, **_legacy):
+        if "continous" in _legacy:
+            continuous = _legacy.pop("continous")
+        size = self.opt["model"]["diffusion"]["image_size"]
+        ch = self.opt["model"]["diffusion"]["channels"]
+        shape = (batch_size, size, size, ch)
+        fn = self._infer_fn("sample", shape, continuous)
+        self.prediction = fn(self.params, None, self._next_rng())
+        return self.prediction
+
+    # ------------------------------------------------------------- logging
+    def get_current_log(self):
+        return self.log_dict
+
+    def get_current_visuals(self, need_LR=True, sample=False):
+        out = OrderedDict()
+        if sample:
+            out["SAM"] = np.asarray(self.prediction)
+        else:
+            out["prediction"] = np.asarray(self.prediction)
+            out["input"] = np.asarray(self.data["input"])
+            if "target" in self.data:
+                out["target"] = np.asarray(self.data["target"])
+        return out
+
+    def print_network(self):
+        n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params))
+        logger.info(
+            "Network G structure: %s (%s), with parameters: %s",
+            self.__class__.__name__, self.which, f"{n:,d}",
+        )
+
+    # ------------------------------------------------------------- checkpoints
+    def save_network(self, epoch, iter_step):
+        ckpt_dir = self.opt["path"]["checkpoint"]
+        prefix = f"I{iter_step}_E{epoch}"
+        gen_path, _ = save_checkpoint(
+            ckpt_dir, prefix, self.params, self.opt_state, epoch, iter_step
+        )
+        logger.info("Saved model in [%s] ...", gen_path)
+
+    def load_network(self):
+        load_path = self.opt["path"].get("resume_state") if self.opt.get("path") else None
+        if not load_path:
+            return
+        logger.info("Loading pretrained model for G [%s] ...", load_path)
+        want_opt = self.phase == "train"
+        params, opt_state, epoch, step = load_checkpoint(
+            load_path, self.params, self.opt_state if want_opt else None
+        )
+        self.params = replicate(params, self.mesh)
+        if want_opt and opt_state is not None:
+            self.opt_state = replicate(opt_state, self.mesh)
+            self.begin_epoch = epoch
+            self.begin_step = step
