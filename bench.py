@@ -1,0 +1,123 @@
+"""Headline benchmark: reverse-diffusion steps/sec/chip on the 128×128 SR3 UNet.
+
+BASELINE.json's metric: "reverse-diffusion steps/sec/chip at 128×128 UNet";
+north star 100-step reverse sampling ≥40% MFU on v5e. The reference never
+publishes throughput (its reverse loop is a per-step python loop with host
+round-trips, ddpm/diffusion.py:205-237); here the whole 100-step trajectory is
+one compiled lax.scan on device.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": steps/sec/chip, "unit": ..., "vs_baseline": MFU/0.40}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 8
+STEPS = 100
+IMG = 128
+# v5e (TPU v5 lite) peak bf16 matmul throughput per chip
+V5E_PEAK_FLOPS = 197e12
+PEAK_BY_GEN = {"v5e": 197e12, "v4": 275e12, "v6e": 918e12}
+
+
+def detect_peak_flops() -> float:
+    import os
+
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    for k, v in PEAK_BY_GEN.items():
+        if k in gen:
+            return v
+    return V5E_PEAK_FLOPS
+
+
+def build():
+    from diffsplitting_tpu.diffusion import SR3Process, build_ddpm_schedule
+    from diffsplitting_tpu.models import UNet
+
+    net = UNet(
+        in_channel=6,
+        out_channel=3,
+        inner_channel=64,
+        norm_groups=32,
+        channel_mults=(1, 2, 4, 8, 8),
+        attn_res=(16,),
+        res_blocks=2,
+        dropout=0.0,
+        image_size=IMG,
+        cond_type="noise_level",
+        dtype=jnp.bfloat16,
+    )
+    process = SR3Process(image_size=IMG, channels=3, conditional=True)
+    sched = build_ddpm_schedule(
+        {"schedule": "linear", "n_timestep": STEPS, "linear_start": 1e-6, "linear_end": 1e-2}
+    )
+
+    x = jnp.zeros((BATCH, IMG, IMG, 3), jnp.float32)
+    gamma = jnp.full((BATCH,), 0.5, jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 6)), gamma[:1])
+
+    def sample(params, cond, rng):
+        denoise = lambda xx, tt: net.apply(params, xx, tt)
+        return process.p_sample_loop(denoise, sched, rng, cond, continuous=False)
+
+    return jax.jit(sample), params, x
+
+
+def flops_per_step(jfn, params, x) -> float:
+    """XLA's own FLOP estimate for the whole compiled loop / STEPS."""
+    try:
+        compiled = jfn.lower(params, x, jax.random.PRNGKey(1)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) / STEPS
+    except Exception:
+        return 0.0
+
+
+def main():
+    jfn, params, x = build()
+    rng = jax.random.PRNGKey(1)
+
+    # warmup/compile
+    out = jfn(params, x, rng)
+    out.block_until_ready()
+
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = jfn(params, x, jax.random.fold_in(rng, i))
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = STEPS * reps / elapsed
+    fps = flops_per_step(jfn, params, x)
+    mfu = (fps * steps_per_sec) / detect_peak_flops() if fps else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": f"reverse_diffusion_steps_per_sec_chip_{IMG}px_sr3unet_b{BATCH}",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/s/chip",
+                "vs_baseline": round(mfu / 0.40, 4) if mfu else None,
+                "extra": {
+                    "batch": BATCH,
+                    "steps": STEPS,
+                    "mfu": round(mfu, 4),
+                    "flops_per_step": fps,
+                    "imgs_per_sec": round(steps_per_sec * BATCH / STEPS, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Inference-only CLI for super-resolution.
+
+CLI parity with /root/reference/infer.py: iterate the val LR/HR loader, run
+the full reverse trajectory (`test(continuous=True)`), save
+`*_sr_process/sr/hr/inf.png`. The reference reads stale HR/SR/INF visual keys
+(SURVEY.md §2.7); here the wrapper's prediction/input/target keys feed the
+same outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+from diffsplitting_tpu import config as Logger
+from diffsplitting_tpu import data as Data
+from diffsplitting_tpu.train import create_model
+from diffsplitting_tpu.utils import setup_logger
+from diffsplitting_tpu.utils.metrics import save_img, tensor2img
+from diffsplitting_tpu.utils.wandb_logger import WandbLogger
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, default="configs/sr_sr3_64_512.json")
+    parser.add_argument("-p", "--phase", type=str, choices=["val"], default="val")
+    parser.add_argument("-gpu", "--gpu_ids", type=str, default=None)
+    parser.add_argument("-debug", "-d", action="store_true", dest="debug")
+    parser.add_argument("-enable_wandb", action="store_true")
+    parser.add_argument("-log_infer", action="store_true")
+    parser.add_argument("-rootdir", type=str, default=None)
+    args = parser.parse_args()
+
+    opt = Logger.parse(args)
+    setup_logger(None, opt["path"]["log"], "train", level=logging.INFO, screen=True)
+    setup_logger("val", opt["path"]["log"], "val", level=logging.INFO)
+    logger = logging.getLogger("base")
+
+    wandb_logger = (
+        WandbLogger(opt, opt["path"]["experiment_root"], opt["experiment_name"])
+        if opt["enable_wandb"]
+        else None
+    )
+
+    val_set = Data.create_dataset(opt["datasets"]["val"], "val")
+    val_loader = Data.create_dataloader(val_set, opt["datasets"]["val"], "val")
+    logger.info("Initial Dataset Finished")
+
+    diffusion = create_model(opt)
+    logger.info("Initial Model Finished")
+    diffusion.set_new_noise_schedule(opt["model"]["beta_schedule"]["val"], "val")
+
+    logger.info("Begin Model Inference.")
+    current_step, idx = 0, 0
+    result_path = opt["path"]["results"]
+    os.makedirs(result_path, exist_ok=True)
+
+    for val_data in val_loader:
+        idx += 1
+        batch = {"input": val_data["SR"], "target": val_data["HR"]}
+        diffusion.feed_data(batch)
+        diffusion.test(continuous=True)
+        visuals = diffusion.get_current_visuals(need_LR=False)
+
+        frames = visuals["prediction"]  # (n_frames, B, H, W, C)
+        hr_img = tensor2img(visuals["target"])
+        fake_img = tensor2img(visuals["input"])  # the bicubic-upsampled condition
+
+        grid = tensor2img(frames.reshape((-1,) + frames.shape[2:]))
+        save_img(_hwc(grid), f"{result_path}/{current_step}_{idx}_sr_process.png")
+        sr_final = tensor2img(frames[-1])
+        save_img(_hwc(sr_final), f"{result_path}/{current_step}_{idx}_sr.png")
+        save_img(_hwc(hr_img), f"{result_path}/{current_step}_{idx}_hr.png")
+        save_img(_hwc(fake_img), f"{result_path}/{current_step}_{idx}_inf.png")
+
+        if wandb_logger and opt.get("log_infer"):
+            wandb_logger.log_eval_data(fake_img, sr_final, hr_img)
+
+    if wandb_logger and opt.get("log_infer"):
+        wandb_logger.log_eval_table(commit=True)
+
+
+def _hwc(img):
+    return img if img.ndim == 3 else np.asarray(img)[..., None]
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Unconditional-generation train/eval CLI (DDPM / SR3 face generation).
+
+CLI parity with /root/reference/sample.py: train loop over the LR/HR dataset
+with periodic sampling of `val.data_len` images (:72-131); val phase dumps
+continuous sampling trajectories as grids (:132-162).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from diffsplitting_tpu import config as Logger
+from diffsplitting_tpu import data as Data
+from diffsplitting_tpu.train import create_model
+from diffsplitting_tpu.utils import setup_logger
+from diffsplitting_tpu.utils.metrics import save_img, tensor2img
+from diffsplitting_tpu.utils.wandb_logger import WandbLogger
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, default="configs/sample_sr3_128.json")
+    parser.add_argument("-p", "--phase", type=str, choices=["train", "val"], default="train")
+    parser.add_argument("-gpu", "--gpu_ids", type=str, default=None)
+    parser.add_argument("-debug", "-d", action="store_true", dest="debug")
+    parser.add_argument("-enable_wandb", action="store_true")
+    parser.add_argument("-log_wandb_ckpt", action="store_true")
+    parser.add_argument("-rootdir", type=str, default=None)
+    args = parser.parse_args()
+
+    opt = Logger.parse(args)
+
+    setup_logger(None, opt["path"]["log"], "train", level=logging.INFO, screen=True)
+    setup_logger("val", opt["path"]["log"], "val", level=logging.INFO)
+    logger = logging.getLogger("base")
+    logger.info(Logger.dict2str(opt))
+
+    wandb_logger = WandbLogger(opt, opt["path"]["experiment_root"], opt["experiment_name"]) if opt["enable_wandb"] else None
+
+    train_loader = None
+    if args.phase != "val":
+        train_set = Data.create_dataset(opt["datasets"]["train"], "train")
+        train_loader = Data.create_dataloader(train_set, opt["datasets"]["train"], "train")
+    logger.info("Initial Dataset Finished")
+
+    diffusion = create_model(opt)
+    logger.info("Initial Model Finished")
+
+    current_step = diffusion.begin_step
+    current_epoch = diffusion.begin_epoch
+    n_iter = int(opt["train"]["n_iter"])
+    sample_sum = int(opt["datasets"]["val"]["data_len"])
+
+    diffusion.set_new_noise_schedule(
+        opt["model"]["beta_schedule"][opt["phase"]], schedule_phase=opt["phase"]
+    )
+
+    if opt["phase"] == "train":
+        while current_step < n_iter:
+            current_epoch += 1
+            for train_data in train_loader:
+                current_step += 1
+                if current_step > n_iter:
+                    break
+                # unconditional training uses HR as target
+                batch = {"target": train_data["HR"], "input": train_data["SR"]}
+                diffusion.feed_data(batch)
+                diffusion.optimize_parameters()
+
+                if current_step % int(opt["train"]["print_freq"]) == 0:
+                    logs = diffusion.get_current_log()
+                    msg = "<epoch:{:3d}, iter:{:8,d}> ".format(current_epoch, current_step)
+                    for k, v in logs.items():
+                        msg += "{:s}: {:.4e} ".format(k, v)
+                    logger.info(msg)
+                    if wandb_logger:
+                        wandb_logger.log_metrics(logs)
+
+                if current_step % int(opt["train"]["val_freq"]) == 0:
+                    result_path = os.path.join(opt["path"]["results"], str(current_epoch))
+                    os.makedirs(result_path, exist_ok=True)
+                    diffusion.set_new_noise_schedule(
+                        opt["model"]["beta_schedule"]["val"], "val"
+                    )
+                    for idx in range(sample_sum):
+                        diffusion.sample(continuous=False)
+                        visuals = diffusion.get_current_visuals(sample=True)
+                        sample_img = tensor2img(visuals["SAM"])
+                        save_img(
+                            _hwc(sample_img), f"{result_path}/{current_step}_{idx}_sr.png"
+                        )
+                        if wandb_logger:
+                            wandb_logger.log_image(f"validation_{idx}", sample_img)
+                    diffusion.set_new_noise_schedule(
+                        opt["model"]["beta_schedule"]["train"], "train"
+                    )
+
+                if current_step % int(opt["train"]["save_checkpoint_freq"]) == 0:
+                    logger.info("Saving models and training states.")
+                    diffusion.save_network(current_epoch, current_step)
+                    if wandb_logger and opt.get("log_wandb_ckpt"):
+                        wandb_logger.log_checkpoint(current_epoch, current_step)
+        logger.info("End of training.")
+    else:
+        logger.info("Begin Model Evaluation.")
+        result_path = opt["path"]["results"]
+        os.makedirs(result_path, exist_ok=True)
+        sample_imgs = []
+        for idx in range(1, sample_sum + 1):
+            diffusion.sample(continuous=True)
+            visuals = diffusion.get_current_visuals(sample=True)
+            frames = visuals["SAM"]  # (n_frames, B, H, W, C)
+            grid = tensor2img(frames.reshape((-1,) + frames.shape[2:]))
+            save_img(_hwc(grid), f"{result_path}/{current_step}_{idx}_sample_process.png")
+            final = tensor2img(frames[-1])
+            save_img(_hwc(final), f"{result_path}/{current_step}_{idx}_sample.png")
+            sample_imgs.append(final)
+        if wandb_logger:
+            wandb_logger.log_images("eval_images", sample_imgs)
+
+
+def _hwc(img):
+    import numpy as np
+
+    return img if img.ndim == 3 else np.asarray(img)[..., None]
+
+
+if __name__ == "__main__":
+    main()
