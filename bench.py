@@ -69,16 +69,25 @@ def build():
     return jax.jit(sample), params, x
 
 
-def flops_per_step(jfn, params, x) -> float:
-    """XLA's own FLOP estimate for the whole compiled loop / STEPS."""
-    try:
-        compiled = jfn.lower(params, x, jax.random.PRNGKey(1)).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) / STEPS
-    except Exception:
-        return 0.0
+def flops_per_step() -> float:
+    """Analytic UNet-forward FLOPs per reverse step (batch included).
+
+    XLA cost_analysis() badly under-reports through the remote-compile path,
+    so MFU uses the structural count (utils/flops.py).
+    """
+    from diffsplitting_tpu.utils.flops import unet_forward_flops
+
+    return unet_forward_flops(
+        image_size=IMG,
+        in_channel=6,
+        out_channel=3,
+        inner_channel=64,
+        channel_mults=(1, 2, 4, 8, 8),
+        attn_res=(16,),
+        res_blocks=2,
+        cond=True,
+        batch=BATCH,
+    )
 
 
 def main():
@@ -97,7 +106,7 @@ def main():
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = STEPS * reps / elapsed
-    fps = flops_per_step(jfn, params, x)
+    fps = flops_per_step()
     mfu = (fps * steps_per_sec) / detect_peak_flops() if fps else 0.0
 
     print(

@@ -36,8 +36,13 @@ GN_EPS = 1e-5
 orthogonal_init = nn.initializers.orthogonal()
 
 
-def conv_kwargs():
-    return dict(kernel_init=orthogonal_init, bias_init=nn.initializers.zeros)
+def conv_kwargs(dtype=None):
+    """Shared Conv/Dense init + compute-dtype kwargs.
+
+    `dtype` is the computation dtype (bf16 on TPU for MXU throughput);
+    params always stay float32 (flax default param_dtype).
+    """
+    return dict(kernel_init=orthogonal_init, bias_init=nn.initializers.zeros, dtype=dtype)
 
 
 def swish(x):
@@ -79,11 +84,12 @@ class FeatureWiseAffine(nn.Module):
 
     out_channels: int
     use_affine_level: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, noise_embed):
         mult = 2 if self.use_affine_level else 1
-        h = nn.Dense(self.out_channels * mult, **conv_kwargs())(noise_embed)
+        h = nn.Dense(self.out_channels * mult, **conv_kwargs(self.dtype))(noise_embed)
         if self.use_affine_level:
             gamma, beta = jnp.split(h[:, None, None, :], 2, axis=-1)
             return (1 + gamma) * x + beta
@@ -91,19 +97,27 @@ class FeatureWiseAffine(nn.Module):
 
 
 class Block(nn.Module):
-    """GroupNorm → Swish → Dropout → 3×3 conv."""
+    """GroupNorm → Swish → Dropout → 3×3 conv.
+
+    The GroupNorm+Swish pair runs through the fused Pallas kernel on TPU
+    (ops/groupnorm.py); elsewhere XLA fuses the jnp reference path.
+    """
 
     dim_out: int
     groups: int = 32
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=GN_EPS)(x)
-        h = swish(h)
+        from diffsplitting_tpu.ops import fused_group_norm_swish
+
+        scale = self.param("gn_scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("gn_bias", nn.initializers.zeros, (x.shape[-1],))
+        h = fused_group_norm_swish(x, scale, bias, self.groups, GN_EPS)
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
-        return nn.Conv(self.dim_out, (3, 3), padding="SAME", **conv_kwargs())(h)
+        return nn.Conv(self.dim_out, (3, 3), padding="SAME", **conv_kwargs(self.dtype))(h)
 
 
 class ResnetBlock(nn.Module):
@@ -118,21 +132,25 @@ class ResnetBlock(nn.Module):
     use_affine_level: bool = False
     dropout: float = 0.0
     norm_groups: int = 32
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, time_emb=None, *, deterministic: bool = True):
         dim_in = x.shape[-1]
-        h = Block(self.dim_out, groups=self.norm_groups)(x, deterministic=deterministic)
+        h = Block(self.dim_out, groups=self.norm_groups, dtype=self.dtype)(
+            x, deterministic=deterministic
+        )
         if self.cond_type == "time" and time_emb is not None:
-            emb = nn.Dense(self.dim_out, **conv_kwargs())(swish(time_emb))
+            emb = nn.Dense(self.dim_out, **conv_kwargs(self.dtype))(swish(time_emb))
             h = h + emb[:, None, None, :]
         elif self.cond_type == "noise_level" and time_emb is not None:
-            h = FeatureWiseAffine(self.dim_out, self.use_affine_level)(h, time_emb)
-        h = Block(self.dim_out, groups=self.norm_groups, dropout=self.dropout)(
-            h, deterministic=deterministic
-        )
+            h = FeatureWiseAffine(self.dim_out, self.use_affine_level, dtype=self.dtype)(
+                h, time_emb
+            )
+        h = Block(self.dim_out, groups=self.norm_groups, dropout=self.dropout,
+                  dtype=self.dtype)(h, deterministic=deterministic)
         if dim_in != self.dim_out:
-            x = nn.Conv(self.dim_out, (1, 1), **conv_kwargs())(x)
+            x = nn.Conv(self.dim_out, (1, 1), **conv_kwargs(self.dtype))(x)
         return h + x
 
 
@@ -142,22 +160,24 @@ class SelfAttention(nn.Module):
 
     n_head: int = 1
     norm_groups: int = 32
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
+        from diffsplitting_tpu.ops import fused_attention
+
         B, H, W, C = x.shape
         head_dim = C // self.n_head
         h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=GN_EPS)(x)
-        qkv = nn.Conv(C * 3, (1, 1), use_bias=False, kernel_init=orthogonal_init)(h)
+        qkv = nn.Conv(C * 3, (1, 1), use_bias=False, kernel_init=orthogonal_init,
+                      dtype=self.dtype)(h)
         # channel layout per head: [q | k | v] (torch chunk on the head-channel dim)
         qkv = qkv.reshape(B, H * W, self.n_head, 3, head_dim)
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(C)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = fused_attention(q, k, v, 1.0 / math.sqrt(C))
         out = out.reshape(B, H, W, C)
-        out = nn.Conv(C, (1, 1), **conv_kwargs())(out)
+        out = nn.Conv(C, (1, 1), **conv_kwargs(self.dtype))(out)
         return out + x
 
 
@@ -168,6 +188,7 @@ class ResnetBlockWithAttn(nn.Module):
     norm_groups: int = 32
     dropout: float = 0.0
     with_attn: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, time_emb=None, *, deterministic: bool = True):
@@ -177,22 +198,28 @@ class ResnetBlockWithAttn(nn.Module):
             use_affine_level=self.use_affine_level,
             dropout=self.dropout,
             norm_groups=self.norm_groups,
+            dtype=self.dtype,
         )(x, time_emb, deterministic=deterministic)
         if self.with_attn:
-            x = SelfAttention(norm_groups=self.norm_groups)(x)
+            x = SelfAttention(norm_groups=self.norm_groups, dtype=self.dtype)(x)
         return x
 
 
 class Downsample(nn.Module):
+    dtype: Optional[jnp.dtype] = None
+
     @nn.compact
     def __call__(self, x):
         return nn.Conv(
-            x.shape[-1], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), **conv_kwargs()
+            x.shape[-1], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+            **conv_kwargs(self.dtype)
         )(x)
 
 
 class Upsample(nn.Module):
+    dtype: Optional[jnp.dtype] = None
+
     @nn.compact
     def __call__(self, x):
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(x.shape[-1], (3, 3), padding="SAME", **conv_kwargs())(x)
+        return nn.Conv(x.shape[-1], (3, 3), padding="SAME", **conv_kwargs(self.dtype))(x)

@@ -81,9 +81,9 @@ class UNet(nn.Module):
             raise ValueError(self.cond_type)
 
         if t is not None:
-            t = nn.Dense(self.inner_channel * 4, **conv_kwargs())(t)
+            t = nn.Dense(self.inner_channel * 4, **conv_kwargs(self.dtype))(t)
             t = swish(t)
-            t = nn.Dense(self.inner_channel, **conv_kwargs())(t)
+            t = nn.Dense(self.inner_channel, **conv_kwargs(self.dtype))(t)
             t = t.astype(compute_dtype)
 
         rb = lambda dim_out, with_attn: ResnetBlockWithAttn(
@@ -93,6 +93,7 @@ class UNet(nn.Module):
             norm_groups=self.norm_groups,
             dropout=self.dropout,
             with_attn=with_attn,
+            dtype=self.dtype,
         )
 
         num_mults = len(self.channel_mults)
@@ -100,7 +101,7 @@ class UNet(nn.Module):
 
         # ------------------------------------------------------------ encoder
         feats = []
-        h = nn.Conv(self.inner_channel, (3, 3), padding="SAME", **conv_kwargs())(x)
+        h = nn.Conv(self.inner_channel, (3, 3), padding="SAME", **conv_kwargs(self.dtype))(x)
         feats.append(h)
         for ind in range(num_mults):
             is_last = ind == num_mults - 1
@@ -110,7 +111,7 @@ class UNet(nn.Module):
                 h = rb(channel_mult, use_attn)(h, t, deterministic=deterministic)
                 feats.append(h)
             if not is_last:
-                h = Downsample()(h)
+                h = Downsample(dtype=self.dtype)(h)
                 feats.append(h)
                 now_res //= 2
 
@@ -130,10 +131,12 @@ class UNet(nn.Module):
                     jnp.concatenate([h, skip], axis=-1), t, deterministic=deterministic
                 )
             if not is_last:
-                h = Upsample()(h)
+                h = Upsample(dtype=self.dtype)(h)
                 now_res *= 2
         assert not feats
 
         # ------------------------------------------------------------ head
-        out = Block(self.out_channel, groups=self.norm_groups)(h, deterministic=deterministic)
+        out = Block(self.out_channel, groups=self.norm_groups, dtype=self.dtype)(
+            h, deterministic=deterministic
+        )
         return out.astype(jnp.float32)
