@@ -58,9 +58,14 @@ def build():
         {"schedule": "linear", "n_timestep": STEPS, "linear_start": 1e-6, "linear_end": 1e-2}
     )
 
+    from diffsplitting_tpu.parallel.mesh import init_on_host
+
     x = jnp.zeros((BATCH, IMG, IMG, 3), jnp.float32)
     gamma = jnp.full((BATCH,), 0.5, jnp.float32)
-    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 6)), gamma[:1])
+    params = init_on_host(
+        net.init, jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 6)), gamma[:1]
+    )
+    params = jax.device_put(params, jax.devices()[0])
 
     def sample(params, cond, rng):
         denoise = lambda xx, tt: net.apply(params, xx, tt)

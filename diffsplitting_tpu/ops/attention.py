@@ -69,6 +69,12 @@ def _pallas_forward(q, k, v, scale: float, interpret: bool = False):
 
 
 def _should_use_pallas(q) -> bool:
+    # Opt-in (see groupnorm.py): at ≤256 tokens XLA's fused attention wins;
+    # the kernel pays off only for long token counts. DSP_USE_PALLAS=1 enables.
+    import os
+
+    if os.environ.get("DSP_USE_PALLAS", "0") != "1":
+        return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     _, N, _, D = q.shape

@@ -38,15 +38,40 @@ def group_norm_swish_reference(x, scale, bias, num_groups: int, eps: float = 1e-
 
 
 def _kernel(x_ref, scale_ref, bias_ref, out_ref, *, num_groups: int, eps: float):
-    x = x_ref[0].astype(jnp.float32)  # (H, W, C) one sample
+    """One sample per grid step. Group statistics via a (C, G) one-hot
+    group-membership matmul — Mosaic has no vector reshape that splits the
+    channel (lane) dim, so E[x], E[x²] reduce to per-channel sums first and
+    then contract channels→groups on the MXU."""
+    x = x_ref[0].astype(jnp.float32)  # (H, W, C)
     H, W, C = x.shape
     G = num_groups
-    xg = x.reshape(H * W, G, C // G)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
-    norm = (xg - mean) * jax.lax.rsqrt(var + eps)
-    norm = norm.reshape(H, W, C) * scale_ref[0] + bias_ref[0]
-    out_ref[0] = (norm * jax.nn.sigmoid(norm)).astype(out_ref.dtype)
+    cs = C // G
+
+    x2 = x.reshape(H * W, C)  # collapse majors only (lane dim untouched)
+    s = jnp.sum(x2, axis=0, keepdims=True)  # (1, C)
+    ss = jnp.sum(x2 * x2, axis=0, keepdims=True)
+
+    chan = jax.lax.broadcasted_iota(jnp.int32, (C, G), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (C, G), 1)
+    member = (chan // cs == grp).astype(jnp.float32)  # (C, G) one-hot
+
+    n = jnp.float32(H * W * cs)
+    gsum = jax.lax.dot_general(s, member, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (1, G)
+    gsumsq = jax.lax.dot_general(ss, member, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    gmean = gsum / n
+    gvar = gsumsq / n - gmean * gmean
+
+    mean_c = jax.lax.dot_general(gmean, member, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (1, C)
+    var_c = jax.lax.dot_general(gvar, member, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    norm = (x2 - mean_c) * jax.lax.rsqrt(var_c + eps)
+    norm = norm * scale_ref[0] + bias_ref[0]
+    out = norm * jax.nn.sigmoid(norm)
+    out_ref[0] = out.reshape(H, W, C).astype(out_ref.dtype)
 
 
 def _pallas_forward(x, scale, bias, num_groups: int, eps: float, interpret: bool = False):
@@ -70,10 +95,19 @@ def _pallas_forward(x, scale, bias, num_groups: int, eps: float, interpret: bool
 
 
 def _should_use_pallas(x) -> bool:
+    # Opt-in: measured end-to-end, XLA's conv+GN+swish fusion beats the
+    # standalone kernel (the pallas_call is a fusion barrier — an extra HBM
+    # round-trip per block). Set DSP_USE_PALLAS=1 to enable for experiments.
+    import os
+
+    if os.environ.get("DSP_USE_PALLAS", "0") != "1":
+        return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     _, H, W, C = x.shape
-    bytes_needed = H * W * C * 4 * 2  # fp32 x + out
+    # Mosaic's measured stack footprint is ~24 B/element (several f32 temps);
+    # larger activations fall back to XLA's own GN+swish fusion.
+    bytes_needed = H * W * C * 24
     return bytes_needed <= _VMEM_LIMIT
 
 

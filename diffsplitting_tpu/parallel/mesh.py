@@ -77,6 +77,21 @@ def shard_batch(batch, mesh: Optional[Mesh], axis: str = "data"):
     return jax.tree_util.tree_map(put, batch)
 
 
+def init_on_host(init_fn, *args, **kwargs):
+    """Run a (potentially expensive) flax init on the host CPU backend.
+
+    Orthogonal init runs QR factorizations for every conv kernel — minutes on
+    a TPU backend (and through a remote tunnel), milliseconds-to-seconds on
+    host. Falls back to the default device when no CPU backend exists.
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return init_fn(*args, **kwargs)
+    with jax.default_device(cpu):
+        return init_fn(*args, **kwargs)
+
+
 def replicate(tree, mesh: Optional[Mesh]):
     """Replicate a pytree (params/opt state) across the mesh."""
     if mesh is None:

@@ -33,6 +33,7 @@ import optax
 
 from diffsplitting_tpu.diffusion import build_ddpm_schedule
 from diffsplitting_tpu.parallel import make_mesh, replicate, shard_batch
+from diffsplitting_tpu.parallel.mesh import init_on_host
 from .checkpoints import load_checkpoint, save_checkpoint
 from .factory import define_generator
 
@@ -64,7 +65,8 @@ class DiffusionModel:
         params = {}
         for i, (role, net) in enumerate(self.nets.items()):
             key = jax.random.fold_in(self.base_rng, i)
-            params[role] = net.init(key, x0, t0)["params"]
+            # init on host CPU: orthogonal-init QR is pathologically slow on TPU
+            params[role] = init_on_host(net.init, key, x0, t0)["params"]
         if self.which == "joint_indi":
             from diffsplitting_tpu.diffusion import JointInDIProcess
 
