@@ -18,9 +18,15 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = 8
-STEPS = 100
+import os
+
+BATCH = int(os.environ.get("DSP_BENCH_BATCH", 8))
+STEPS = int(os.environ.get("DSP_BENCH_STEPS", 100))
 IMG = 128
+# 'bf16' threads explicit bf16 through every conv; 'f32' keeps f32
+# params/activations and lets XLA's DEFAULT TPU precision run the MXU in
+# bf16-with-f32-accumulate. Measured: f32+DEFAULT wins (fewer converts).
+BENCH_DTYPE = os.environ.get("DSP_BENCH_DTYPE", "f32")
 # v5e (TPU v5 lite) peak bf16 matmul throughput per chip
 V5E_PEAK_FLOPS = 197e12
 PEAK_BY_GEN = {"v5e": 197e12, "v4": 275e12, "v6e": 918e12}
@@ -51,7 +57,7 @@ def build():
         dropout=0.0,
         image_size=IMG,
         cond_type="noise_level",
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16 if BENCH_DTYPE == "bf16" else None,
     )
     process = SR3Process(image_size=IMG, channels=3, conditional=True)
     sched = build_ddpm_schedule(

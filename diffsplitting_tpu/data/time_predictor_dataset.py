@@ -60,6 +60,28 @@ class TimePredictorDataset(SplitDataset):
         t_min, t_max = self.input_normalization_dict[t_int]
         return 2 * (img - t_min) / (t_max - t_min) - 1
 
+    def item_at_t(self, index, t: float, t_int: int):
+        """Mixture at a FIXED t (the evaluation notebook's per-t grid loop).
+
+        Assumes `compute_input_normalization_dict` stats for the same grid
+        were passed via `fixed_t_norm_dict` (else uses the T=100 stats).
+        """
+        fidx, h_idx, w_idx = self._get_location(index)
+        P = self._patch_size
+        patch1 = np.asarray(self._data_dict[0][fidx][h_idx : h_idx + P, w_idx : w_idx + P])
+        patch2 = np.asarray(self._data_dict[1][fidx][h_idx : h_idx + P, w_idx : w_idx + P])
+        if patch1.ndim == 2:
+            patch1 = patch1[..., None]
+            patch2 = patch2[..., None]
+        target = self.normalize_target(
+            np.concatenate([patch1, patch2], axis=-1).astype(np.float32)
+        )
+        nC = patch1.shape[-1]
+        inp = t * target[..., 0:nC] + (1 - t) * target[..., nC : 2 * nC]
+        norm = getattr(self, "fixed_t_norm_dict", self.input_normalization_dict)
+        t_min, t_max = norm[t_int]
+        return (2 * (inp - t_min) / (t_max - t_min) - 1).astype(np.float32)
+
     def __getitem__(self, index):
         fidx, h_idx, w_idx = self._get_location(index)
         img1 = self._data_dict[0][fidx]

@@ -191,7 +191,8 @@ class ResnetBlockWithAttn(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, time_emb=None, *, deterministic: bool = True):
+    def __call__(self, x, time_emb=None, deterministic: bool = True):
+        # `deterministic` is positional so nn.remat can mark it static
         x = ResnetBlock(
             self.dim_out,
             cond_type=self.cond_type,

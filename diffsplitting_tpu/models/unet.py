@@ -61,6 +61,9 @@ class UNet(nn.Module):
     cond_type: str = "time"  # 'time' | 'noise_level' | 'none'
     use_affine_level: bool = False
     dtype: Optional[jnp.dtype] = None
+    # rematerialize each residual block in backward (jax.checkpoint): trades
+    # recompute FLOPs for HBM — enables 512×512 training (sr_sr3_64_512)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, time=None, *, deterministic: bool = True):
@@ -86,7 +89,12 @@ class UNet(nn.Module):
             t = nn.Dense(self.inner_channel, **conv_kwargs(self.dtype))(t)
             t = t.astype(compute_dtype)
 
-        rb = lambda dim_out, with_attn: ResnetBlockWithAttn(
+        block_cls = (
+            nn.remat(ResnetBlockWithAttn, static_argnums=(3,))  # (self, x, t, det)
+            if self.remat
+            else ResnetBlockWithAttn
+        )
+        rb = lambda dim_out, with_attn: block_cls(
             dim_out,
             cond_type=self.cond_type,
             use_affine_level=self.use_affine_level,
@@ -108,7 +116,7 @@ class UNet(nn.Module):
             use_attn = now_res in self.attn_res
             channel_mult = self.inner_channel * self.channel_mults[ind]
             for _ in range(self.res_blocks):
-                h = rb(channel_mult, use_attn)(h, t, deterministic=deterministic)
+                h = rb(channel_mult, use_attn)(h, t, deterministic)
                 feats.append(h)
             if not is_last:
                 h = Downsample(dtype=self.dtype)(h)
@@ -117,8 +125,8 @@ class UNet(nn.Module):
 
         # ------------------------------------------------------------ mid
         pre_channel = h.shape[-1]
-        h = rb(pre_channel, True)(h, t, deterministic=deterministic)
-        h = rb(pre_channel, False)(h, t, deterministic=deterministic)
+        h = rb(pre_channel, True)(h, t, deterministic)
+        h = rb(pre_channel, False)(h, t, deterministic)
 
         # ------------------------------------------------------------ decoder
         for ind in reversed(range(num_mults)):
@@ -128,7 +136,7 @@ class UNet(nn.Module):
             for _ in range(self.res_blocks + 1):
                 skip = feats.pop()
                 h = rb(channel_mult, use_attn)(
-                    jnp.concatenate([h, skip], axis=-1), t, deterministic=deterministic
+                    jnp.concatenate([h, skip], axis=-1), t, deterministic
                 )
             if not is_last:
                 h = Upsample(dtype=self.dtype)(h)

@@ -30,7 +30,12 @@ from diffsplitting_tpu.models import UNet
 def _unet_kwargs(model_opt, cond_type: str, dtype=None) -> dict:
     unet = model_opt["unet"]
     norm_groups = unet.get("norm_groups") or 32
+    if dtype is None and model_opt.get("compute_dtype") == "bfloat16":
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
     return dict(
+        remat=bool(model_opt.get("remat", False)),
         in_channel=unet["in_channel"],
         out_channel=unet["out_channel"],
         inner_channel=unet["inner_channel"],

@@ -92,6 +92,18 @@ class DiffusionModel:
         self.tx = tx
         self.opt_state = replicate(self.tx.init(self.params), self.mesh)
 
+        # ---------------- EMA (opt-in; the reference declares an
+        # ema_scheduler config block but never reads it — enable with
+        # train.ema_scheduler.enabled: true)
+        ema_opt = (opt.get("train") or {}).get("ema_scheduler") or {}
+        self.use_ema = bool(ema_opt.get("enabled", False))
+        self.ema_decay = float(ema_opt.get("ema_decay", 0.9999))
+        self.ema_start = int(ema_opt.get("step_start_ema", 5000))
+        self.ema_params = (
+            jax.tree_util.tree_map(jnp.array, self.params) if self.use_ema else None
+        )
+        self.global_step = 0
+
         # ---------------- schedules + resume
         self.log_dict = OrderedDict()
         self.data = None
@@ -164,25 +176,42 @@ class DiffusionModel:
                 logs = {}
             return loss, logs
 
-        def step(params, opt_state, rng, batch, sched):
+        use_ema, decay, start = self.use_ema, self.ema_decay, self.ema_start
+
+        def step(params, opt_state, ema, step_no, rng, batch, sched):
             (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, rng, batch, sched
             )
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, logs
+            if use_ema:
+                # before step_start_ema: track params exactly; after: decay
+                d = jnp.where(step_no < start, 0.0, decay)
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: d * e + (1.0 - d) * p, ema, params
+                )
+            return params, opt_state, ema, loss, logs
 
-        static = (4,) if which in ("indi", "joint_indi") else ()
-        return jax.jit(step, donate_argnums=(0, 1), static_argnums=static)
+        static = (6,) if which in ("indi", "joint_indi") else ()
+        return jax.jit(step, donate_argnums=(0, 1, 2), static_argnums=static)
 
     def optimize_parameters(self):
         if self._train_step is None:
             self._train_step = self._build_train_step()
         sched = self.current_sched if self.which in ("ddpm", "sr3") else self.current_T
         rng = self._next_rng()
-        self.params, self.opt_state, loss, logs = self._train_step(
-            self.params, self.opt_state, rng, self.data, sched
+        self.global_step += 1
+        self.params, self.opt_state, self.ema_params, loss, logs = self._train_step(
+            self.params,
+            self.opt_state,
+            self.ema_params if self.use_ema else {},
+            self.global_step,
+            rng,
+            self.data,
+            sched,
         )
+        if not self.use_ema:
+            self.ema_params = None
         self.log_dict["l_pix"] = float(loss)
         for k, v in logs.items():
             self.log_dict[k] = float(v)
