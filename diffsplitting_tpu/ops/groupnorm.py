@@ -25,14 +25,27 @@ _VMEM_LIMIT = 8 * 1024 * 1024
 
 def group_norm_swish_reference(x, scale, bias, num_groups: int, eps: float = 1e-5):
     """jnp reference: NHWC GroupNorm (torch semantics: contiguous channel
-    groups, stats over (H,W,C/G) per sample) followed by swish."""
+    groups, stats over (H,W,C/G) per sample) followed by swish.
+
+    Layout note: the big activation tensor NEVER leaves its native (...,C)
+    layout — reshaping the minor (lane) dim to (G, C/G) pads tiny C/G up to
+    the 128-lane tile and costs ~C/G× memory traffic on TPU. Only the (B, C)
+    per-channel statistics get reshaped (negligible).
+    """
     B, H, W, C = x.shape
     G = num_groups
-    xg = x.reshape(B, H, W, G, C // G).astype(jnp.float32)
-    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
-    var = xg.var(axis=(1, 2, 4), keepdims=True)
-    norm = (xg - mean) * jax.lax.rsqrt(var + eps)
-    norm = norm.reshape(B, H, W, C) * scale + bias
+    cs = C // G
+    xf = x.astype(jnp.float32)
+    s = jnp.sum(xf, axis=(1, 2))  # (B, C)
+    ss = jnp.sum(xf * xf, axis=(1, 2))
+    n = H * W * cs
+    gmean = s.reshape(B, G, cs).sum(-1) / n  # (B, G)
+    gsq = ss.reshape(B, G, cs).sum(-1) / n
+    gvar = gsq - gmean * gmean
+    mean_c = jnp.repeat(gmean, cs, axis=-1)  # (B, C)
+    inv_c = jnp.repeat(jax.lax.rsqrt(gvar + eps), cs, axis=-1)
+    norm = (xf - mean_c[:, None, None, :]) * inv_c[:, None, None, :]
+    norm = norm * scale + bias
     out = norm * jax.nn.sigmoid(norm)
     return out.astype(x.dtype)
 
