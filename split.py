@@ -29,7 +29,30 @@ from diffsplitting_tpu.train import create_model
 from diffsplitting_tpu.utils import setup_logger
 from diffsplitting_tpu.utils.metrics import calculate_psnr, calculate_ssim, save_img
 from diffsplitting_tpu.utils.psnr import PSNR
+from diffsplitting_tpu.utils.profiling import StepTimer
 from diffsplitting_tpu.utils.wandb_logger import WandbLogger
+
+
+def _train_flops_per_step(opt):
+    """~3× forward FLOPs (fwd + bwd) for the configured UNet and batch."""
+    try:
+        from diffsplitting_tpu.utils.flops import unet_forward_flops
+
+        m = opt["model"]
+        n_nets = 2 if m["which_model_G"] == "joint_indi" else 1
+        fwd = unet_forward_flops(
+            image_size=opt["datasets"]["patch_size"],
+            in_channel=m["unet"]["in_channel"],
+            out_channel=m["unet"]["out_channel"],
+            inner_channel=m["unet"]["inner_channel"],
+            channel_mults=tuple(m["unet"]["channel_multiplier"]),
+            attn_res=tuple(m["unet"]["attn_res"] or ()),
+            res_blocks=m["unet"]["res_blocks"],
+            batch=opt["datasets"]["train"]["batch_size"],
+        )
+        return 3.0 * fwd * n_nets
+    except Exception:
+        return None
 
 
 def add_git_info(opt):
@@ -224,17 +247,20 @@ def main():
     )
 
     if opt["phase"] == "train":
+        timer = StepTimer(flops_per_step=_train_flops_per_step(opt))
         while current_step < n_iter:
             current_epoch += 1
             for train_data in train_loader:
                 current_step += 1
                 if current_step > n_iter:
                     break
-                diffusion.feed_data(train_data)
-                diffusion.optimize_parameters()
+                with timer.step():
+                    diffusion.feed_data(train_data)
+                    diffusion.optimize_parameters()
 
                 if current_step % int(opt["train"]["print_freq"]) == 0:
-                    logs = diffusion.get_current_log()
+                    logs = dict(diffusion.get_current_log())
+                    logs.update(timer.metrics())
                     message = "<epoch:{:3d}, iter:{:8,d}> ".format(current_epoch, current_step)
                     for k, v in logs.items():
                         message += "{:s}: {:.2e} ".format(k, v)
