@@ -26,7 +26,7 @@ IMG = 128
 # 'bf16' threads explicit bf16 through every conv; 'f32' keeps f32
 # params/activations and lets XLA's DEFAULT TPU precision run the MXU in
 # bf16-with-f32-accumulate. Measured: f32+DEFAULT wins (fewer converts).
-BENCH_DTYPE = os.environ.get("DSP_BENCH_DTYPE", "f32")
+BENCH_DTYPE = os.environ.get("DSP_BENCH_DTYPE", "bf16")
 # v5e (TPU v5 lite) peak bf16 matmul throughput per chip
 V5E_PEAK_FLOPS = 197e12
 PEAK_BY_GEN = {"v5e": 197e12, "v4": 275e12, "v6e": 918e12}

@@ -110,11 +110,20 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        import os
+
         from diffsplitting_tpu.ops import fused_group_norm_swish
 
         scale = self.param("gn_scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("gn_bias", nn.initializers.zeros, (x.shape[-1],))
-        h = fused_group_norm_swish(x, scale, bias, self.groups, GN_EPS)
+        if os.environ.get("DSP_GN_IMPL") == "flax":  # perf A/B experiment
+            h = nn.GroupNorm(
+                num_groups=self.groups, epsilon=GN_EPS, use_scale=False, use_bias=False
+            )(x)
+            h = h * scale + bias
+            h = swish(h)
+        else:
+            h = fused_group_norm_swish(x, scale, bias, self.groups, GN_EPS)
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
         return nn.Conv(self.dim_out, (3, 3), padding="SAME", **conv_kwargs(self.dtype))(h)

@@ -267,16 +267,19 @@ class DiffusionModel:
         self._infer_cache[key] = jfn
         return jfn
 
-    def test(self, continuous=False, clip_denoised=True, t_float_start=None, **_legacy):
+    def test(self, continuous=False, clip_denoised=True, t_float_start=None,
+             use_ema=False, **_legacy):
         """Run the reverse process on self.data['input'] (model.py:63-76).
 
         Accepts the reference's misspelled `continous` kw for call-site parity.
+        `use_ema=True` samples with the EMA weights when EMA tracking is on.
         """
         if "continous" in _legacy:
             continuous = _legacy.pop("continous")
         x_in = self.data["input"]
         fn = self._infer_fn("test", tuple(np.shape(x_in)), continuous, extra=t_float_start)
-        self.prediction = fn(self.params, x_in, self._next_rng())
+        params = self.ema_params if (use_ema and self.ema_params is not None) else self.params
+        self.prediction = fn(params, x_in, self._next_rng())
         return self.prediction
 
     def inference(self, x_in, continuous=False, num_timesteps=None, t_float_start=None):
