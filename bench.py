@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 import os
 
-BATCH = int(os.environ.get("DSP_BENCH_BATCH", 8))
+BATCH = int(os.environ.get("DSP_BENCH_BATCH", 16))
 STEPS = int(os.environ.get("DSP_BENCH_STEPS", 100))
 IMG = 128
 # 'bf16' threads explicit bf16 through every conv; 'f32' keeps f32
