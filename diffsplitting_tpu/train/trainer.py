@@ -294,6 +294,20 @@ class DiffusionModel:
                 self.current_T = old_T
         return self.test(continuous=continuous, t_float_start=t_float_start)
 
+    def interpolate(self, x1, x2, t=None, lam=0.5):
+        """Latent interpolation between two images (ddpm diffusion.py:249-264)."""
+        assert self.which == "ddpm", "interpolate is a DDPM capability"
+        sched = self.current_sched
+
+        def fn(params, x1, x2, rng):
+            d = lambda x, tt: self._apply("net", params, x, tt)
+            return self.process.interpolate(d, sched, rng, x1, x2, t=t, lam=lam)
+
+        x1 = shard_batch(x1, self.mesh)
+        x2 = shard_batch(x2, self.mesh)
+        self.prediction = jax.jit(fn)(self.params, x1, x2, self._next_rng())
+        return self.prediction
+
     def sample(self, batch_size=1, continuous=False, **_legacy):
         if "continous" in _legacy:
             continuous = _legacy.pop("continous")
