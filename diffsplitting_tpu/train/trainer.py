@@ -363,3 +363,4 @@ class DiffusionModel:
             self.opt_state = replicate(opt_state, self.mesh)
             self.begin_epoch = epoch
             self.begin_step = step
+            self.global_step = step  # EMA warmup schedule resumes correctly
