@@ -20,6 +20,12 @@ import jax.numpy as jnp
 
 import os
 
+# persistent compile cache: repeated bench invocations skip the ~5 min
+# scan-of-UNet compile
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/dsp_jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BATCH = int(os.environ.get("DSP_BENCH_BATCH", 32))
 STEPS = int(os.environ.get("DSP_BENCH_STEPS", 100))
 IMG = 128

@@ -90,7 +90,9 @@ class DiffusionModel:
         else:
             tx = optax.adam(lr)
         self.tx = tx
-        self.opt_state = replicate(self.tx.init(self.params), self.mesh)
+        # jit the optimizer-state init: eagerly it dispatches one zeros_like
+        # per param leaf, which is pathological through a remote-TPU tunnel
+        self.opt_state = replicate(jax.jit(self.tx.init)(self.params), self.mesh)
 
         # ---------------- EMA (opt-in; the reference declares an
         # ema_scheduler config block but never reads it — enable with
