@@ -40,6 +40,26 @@ def test_groupnorm_pallas_kernel_interpret(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_groupnorm_pallas_kernel_multitile_bf16(rng):
+    """Row-tiled path (H > row_tile) + bf16 inputs."""
+    from diffsplitting_tpu.ops import groupnorm as gn
+
+    x = (jax.random.normal(rng, (1, 64, 32, 32)) * 2).astype(jnp.bfloat16)
+    scale = jax.random.normal(jax.random.fold_in(rng, 1), (32,))
+    bias = jax.random.normal(jax.random.fold_in(rng, 2), (32,))
+    # force multiple tiles
+    orig = gn._row_tile
+    gn._row_tile = lambda H, W, C, budget=0: 8
+    try:
+        got = gn_pallas(x, scale, bias, num_groups=8, eps=1e-5, interpret=True)
+    finally:
+        gn._row_tile = orig
+    want = group_norm_swish_reference(x.astype(jnp.float32), scale, bias, num_groups=8)
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float32), np.asarray(want), rtol=0.1, atol=0.05
+    )
+
+
 def test_groupnorm_vjp(rng):
     x = jax.random.normal(rng, (1, 4, 4, 8))
     scale = jnp.ones((8,))
