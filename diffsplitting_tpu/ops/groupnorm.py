@@ -51,85 +51,81 @@ def group_norm_swish_reference(x, scale, bias, num_groups: int, eps: float = 1e-
     return out.astype(x.dtype)
 
 
-def _kernel(x_ref, scale_ref, bias_ref, out_ref, *, num_groups: int, eps: float,
-            row_tile: int):
-    """One sample per grid step, streamed in H-row tiles.
+def _stats_kernel(x_ref, sums_ref, acc_s, acc_ss):
+    """Grid (B, H-tiles): accumulate per-channel \u03a3x, \u03a3x\u00b2 into VMEM scratch
+    (persists across the sequential TPU grid), emit on the last tile.
 
-    Profiling showed XLA spends >50% of sampler time in GroupNorm's
-    convert+reduce fusions; this kernel instead:
-      * computes \u03a3x and \u03a3x\u00b2 per channel as MXU matmuls against a ones vector
-        (f32 accumulation via preferred_element_type, no big f32 temporaries),
-        accumulated over row tiles in a fori_loop,
-      * collapses channels\u2192groups with a (C, G) one-hot matmul (Mosaic has no
-        lane-dim-splitting vector reshape),
-      * normalizes + swishes tile-by-tile so Mosaic's vector stack stays small
-        even for the 128\u00b2\u00d7128 decoder concat activations.
+    Sums computed as MXU matmuls against a ones vector with f32 accumulation
+    \u2014 profiling showed XLA's convert+reduce GroupNorm statistics were >50% of
+    sampler time.
     """
-    H, W, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc_s[...] = jnp.zeros_like(acc_s)
+        acc_ss[...] = jnp.zeros_like(acc_ss)
+
+    tile = x_ref[0]  # (th, W, C)
+    th, W, C = tile.shape
+    rows = tile.reshape(th * W, C)
+    ones_t = jnp.ones((8, th * W), rows.dtype)
+    acc_s[...] += jax.lax.dot_general(
+        ones_t, rows, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_ss[...] += jax.lax.dot_general(
+        ones_t, rows * rows, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        sums_ref[0, 0:1] = acc_s[0:1]
+        sums_ref[0, 1:2] = acc_ss[0:1]
+
+
+def _normalize_kernel(x_ref, sums_ref, scale_ref, bias_ref, out_ref, *,
+                      num_groups: int, eps: float, hw: int):
+    """Grid (B, H-tiles): y = swish(x·a + b) with a,b folded from the group
+    stats (channels\u2192groups via a one-hot matmul; Mosaic cannot split the
+    lane dim with a vector reshape)."""
+    tile = x_ref[0]  # (th, W, C)
+    th, W, C = tile.shape
     G = num_groups
     cs = C // G
-    th = row_tile
-    n_tiles = H // th
-    tile_n = th * W
 
-    def load_tile(i):
-        rows = x_ref[0, pl.ds(i * th, th)]  # (th, W, C)
-        return rows.reshape(tile_n, C)
-
-    def stats_body(i, acc):
-        s_acc, ss_acc = acc
-        rows = load_tile(i)
-        ones_t = jnp.ones((8, tile_n), rows.dtype)
-        s_acc = s_acc + jax.lax.dot_general(
-            ones_t, rows, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ss_acc = ss_acc + jax.lax.dot_general(
-            ones_t, rows * rows, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return s_acc, ss_acc
-
-    init = (jnp.zeros((8, C), jnp.float32), jnp.zeros((8, C), jnp.float32))
-    s8, ss8 = jax.lax.fori_loop(0, n_tiles, stats_body, init)
-    s = s8[0:1]  # (1, C); only sublane 0 of ones matters... all 8 rows are the
-    # same sum, keep row 0
-    ss = ss8[0:1]
+    s = sums_ref[0, 0:1]   # (1, C) f32
+    ss = sums_ref[0, 1:2]
 
     chan = jax.lax.broadcasted_iota(jnp.int32, (C, G), 0)
     grp = jax.lax.broadcasted_iota(jnp.int32, (C, G), 1)
     member = (chan // cs == grp).astype(jnp.float32)
 
-    n = jnp.float32(H * W * cs)
-    gsum = jax.lax.dot_general(s, member, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    gsumsq = jax.lax.dot_general(ss, member, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    gmean = gsum / n
-    gvar = gsumsq / n - gmean * gmean
-
+    n = jnp.float32(hw * cs)
+    gmean = jax.lax.dot_general(s, member, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) / n
+    gsq = jax.lax.dot_general(ss, member, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32) / n
+    gvar = gsq - gmean * gmean
     mean_c = jax.lax.dot_general(gmean, member, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     inv_c = jax.lax.dot_general(
         jax.lax.rsqrt(gvar + eps), member, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # fold normalize+affine into one multiply-add: y = x*a + b
-    a = inv_c * scale_ref[0]  # (1, C)
+    a = inv_c * scale_ref[0]
     b = bias_ref[0] - mean_c * a
 
-    def norm_body(i, _):
-        rows = load_tile(i).astype(jnp.float32)
-        norm = rows * a + b
-        out = (norm * jax.nn.sigmoid(norm)).astype(out_ref.dtype)
-        out_ref[0, pl.ds(i * th, th)] = out.reshape(th, W, C)
-        return 0
-
-    jax.lax.fori_loop(0, n_tiles, norm_body, 0)
+    rows = tile.reshape(th * W, C).astype(jnp.float32)
+    norm = rows * a + b
+    out = (norm * jax.nn.sigmoid(norm)).astype(out_ref.dtype)
+    out_ref[0] = out.reshape(th, W, C)
 
 
 def _row_tile(H: int, W: int, C: int, budget: int = 512 * 1024) -> int:
     """Largest divisor-of-H row tile with ~budget bytes of f32 working set."""
-    th = max(1, budget // (W * C * 4 * 3))
+    th = max(1, budget // (W * C * 4))
     while th > 1 and H % th:
         th -= 1
     return min(th, H)
@@ -139,21 +135,41 @@ def _pallas_forward(x, scale, bias, num_groups: int, eps: float, interpret: bool
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, W, C = x.shape
-    kern = functools.partial(
-        _kernel, num_groups=num_groups, eps=eps, row_tile=_row_tile(H, W, C)
-    )
+    th = _row_tile(H, W, C)
+    T = H // th
+
+    x_spec = pl.BlockSpec((1, th, W, C), lambda b, t: (b, t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sums = pl.pallas_call(
+        _stats_kernel,
+        grid=(B, T),
+        in_specs=[x_spec],
+        out_specs=pl.BlockSpec((1, 2, C), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, C), jnp.float32),
+            pltpu.VMEM((8, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x)
+
+    kern = functools.partial(_normalize_kernel, num_groups=num_groups, eps=eps,
+                             hw=H * W)
     return pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            x_spec,
+            pl.BlockSpec((1, 2, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, th, W, C), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-    )(x, scale.reshape(1, -1), bias.reshape(1, -1))
+    )(x, sums, scale.reshape(1, -1), bias.reshape(1, -1))
 
 
 def _should_use_pallas(x) -> bool:
