@@ -21,15 +21,21 @@ from .loader import NumpyLoader
 
 def create_dataloader(dataset, dataset_opt, phase):
     """Parity with reference data/__init__.py:7-21: train honors
-    batch_size/shuffle; val is batch=1, unshuffled."""
+    batch_size/shuffle; val is batch=1, unshuffled. `data_len` (debug-mode
+    shrink, config loader) caps the epoch length for map-style datasets that
+    don't consume it themselves."""
+    data_len = dataset_opt.get("data_len") if hasattr(dataset_opt, "get") else None
+    if data_len is not None and int(data_len) <= 0:
+        data_len = None
     if phase == "train":
         return NumpyLoader(
             dataset,
             batch_size=dataset_opt["batch_size"],
             shuffle=bool(dataset_opt.get("use_shuffle", True)),
+            data_len=data_len,
         )
     if phase == "val":
-        return NumpyLoader(dataset, batch_size=1, shuffle=False)
+        return NumpyLoader(dataset, batch_size=1, shuffle=False, data_len=data_len)
     raise NotImplementedError(f"Dataloader [{phase}] is not found.")
 
 

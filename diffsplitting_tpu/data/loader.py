@@ -4,6 +4,11 @@ Replaces torch.utils.data.DataLoader on the input path (reference
 data/__init__.py:7-21). Samples are dicts / tuples of numpy arrays; batches
 are stacked on a new leading axis. A background thread keeps
 `prefetch` batches ready so host-side patch extraction overlaps device steps.
+
+Error/shutdown semantics: dataset exceptions propagate to the consumer (they
+are forwarded through the queue and re-raised), and abandoning iteration
+early (e.g. validation's 20-item cap) signals the worker to exit instead of
+leaking a thread blocked on a full queue.
 """
 
 from __future__ import annotations
@@ -22,6 +27,11 @@ def _collate(samples):
     if isinstance(first, (tuple, list)):
         return tuple(np.stack([s[i] for s in samples], axis=0) for i in range(len(first)))
     return np.stack(samples, axis=0)
+
+
+class _ExcItem:
+    def __init__(self, exc):
+        self.exc = exc
 
 
 class NumpyLoader:
@@ -69,19 +79,40 @@ class NumpyLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer went away."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for idx in self._batch_indices():
-                    q.put(_collate([self.dataset[int(i)] for i in idx]))
-            finally:
-                q.put(sentinel)
+                    if stop.is_set():
+                        return
+                    if not put(_collate([self.dataset[int(i)] for i in idx])):
+                        return
+            except BaseException as e:  # propagate dataset errors to consumer
+                put(_ExcItem(e))
+                return
+            put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, _ExcItem):
+                    raise item.exc
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=5)

@@ -42,7 +42,7 @@ def group_norm_swish_reference(x, scale, bias, num_groups: int, eps: float = 1e-
     n = H * W * cs
     gmean = s.reshape(B, G, cs).sum(-1) / n  # (B, G)
     gsq = ss.reshape(B, G, cs).sum(-1) / n
-    gvar = gsq - gmean * gmean
+    gvar = jnp.maximum(gsq - gmean * gmean, 0.0)  # fp cancellation guard
     mean_c = jnp.repeat(gmean, cs, axis=-1)  # (B, C)
     inv_c = jnp.repeat(jax.lax.rsqrt(gvar + eps), cs, axis=-1)
     norm = (xf - mean_c[:, None, None, :]) * inv_c[:, None, None, :]
@@ -69,8 +69,11 @@ def _stats_kernel(x_ref, sums_ref, acc_s, acc_ss):
 
     tile = x_ref[0]  # (th, W, C)
     th, W, C = tile.shape
-    rows = tile.reshape(th * W, C)
-    ones_t = jnp.ones((8, th * W), rows.dtype)
+    # f32 BEFORE squaring: a bf16 x² loses ~8 mantissa bits and can push
+    # E[x²]−E[x]² negative for near-constant activations (NaN via rsqrt).
+    # The tile is row-sized, so the f32 copy stays within the VMEM budget.
+    rows = tile.reshape(th * W, C).astype(jnp.float32)
+    ones_t = jnp.ones((8, th * W), jnp.float32)
     acc_s[...] += jax.lax.dot_general(
         ones_t, rows, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -107,7 +110,7 @@ def _normalize_kernel(x_ref, sums_ref, scale_ref, bias_ref, out_ref, *,
                                 preferred_element_type=jnp.float32) / n
     gsq = jax.lax.dot_general(ss, member, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32) / n
-    gvar = gsq - gmean * gmean
+    gvar = jnp.maximum(gsq - gmean * gmean, 0.0)  # fp cancellation guard
     mean_c = jax.lax.dot_general(gmean, member, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     inv_c = jax.lax.dot_general(

@@ -21,21 +21,22 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
-def save_checkpoint(ckpt_dir: str, prefix: str, params, opt_state, epoch: int, step: int):
-    """Write `<ckpt_dir>/<prefix>_gen` (params) and `<prefix>_opt` (opt)."""
+def save_checkpoint(ckpt_dir: str, prefix: str, params, opt_state, epoch: int,
+                    step: int, ema_params=None):
+    """Write `<ckpt_dir>/<prefix>_gen` (params) and `<prefix>_opt` (trainer
+    state: epoch/iter/optimizer, plus EMA weights when tracked)."""
     ckptr = _checkpointer()
     gen_path = os.path.abspath(os.path.join(ckpt_dir, f"{prefix}_gen"))
     opt_path = os.path.abspath(os.path.join(ckpt_dir, f"{prefix}_opt"))
     ckptr.save(gen_path, params, force=True)
-    ckptr.save(
-        opt_path,
-        {
-            "epoch": np.asarray(epoch, dtype=np.int64),
-            "iter": np.asarray(step, dtype=np.int64),
-            "optimizer": opt_state,
-        },
-        force=True,
-    )
+    payload = {
+        "epoch": np.asarray(epoch, dtype=np.int64),
+        "iter": np.asarray(step, dtype=np.int64),
+        "optimizer": opt_state,
+    }
+    if ema_params is not None:
+        payload["ema"] = ema_params
+    ckptr.save(opt_path, payload, force=True)
     ckptr.wait_until_finished()
     return gen_path, opt_path
 
@@ -44,18 +45,21 @@ def load_checkpoint(
     prefix_path: str,
     params_template,
     opt_state_template: Optional[Any] = None,
-) -> Tuple[Any, Optional[Any], int, int]:
+    with_ema: bool = False,
+) -> Tuple[Any, Optional[Any], int, int, Optional[Any]]:
     """Restore from a `{prefix}_gen` / `{prefix}_opt` pair.
 
-    Returns (params, opt_state or None, epoch, step). The templates supply the
-    pytree structure/shardings (orbax restores into abstract targets).
+    Returns (params, opt_state or None, epoch, step, ema or None). The
+    templates supply the pytree structure/shardings (orbax restores into
+    abstract targets). `with_ema` requests EMA weights when the checkpoint
+    has them (falls back to None for pre-EMA checkpoints).
     """
     ckptr = _checkpointer()
     gen_path = os.path.abspath(f"{prefix_path}_gen")
     abstract_params = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, params_template)
     params = ckptr.restore(gen_path, abstract_params)
 
-    opt_state, epoch, step = None, 0, 0
+    opt_state, epoch, step, ema = None, 0, 0, None
     opt_path = os.path.abspath(f"{prefix_path}_opt")
     if opt_state_template is not None and os.path.exists(opt_path):
         abstract_opt = {
@@ -65,8 +69,17 @@ def load_checkpoint(
                 ocp.utils.to_shape_dtype_struct, opt_state_template
             ),
         }
-        restored = ckptr.restore(opt_path, abstract_opt)
+        if with_ema:
+            abstract_opt["ema"] = abstract_params
+        try:
+            restored = ckptr.restore(opt_path, abstract_opt)
+        except Exception:
+            if not with_ema:
+                raise
+            abstract_opt.pop("ema")  # pre-EMA checkpoint
+            restored = ckptr.restore(opt_path, abstract_opt)
         opt_state = restored["optimizer"]
         epoch = int(restored["epoch"])
         step = int(restored["iter"])
-    return params, opt_state, epoch, step
+        ema = restored.get("ema")
+    return params, opt_state, epoch, step, ema

@@ -78,14 +78,27 @@ class DiffusionModel:
         lr = float(opt["train"]["optimizer"]["lr"]) if opt.get("train") else 1e-4
         if model_opt.get("finetune_norm"):
             # freeze every param whose path lacks 'transformer' (model.py:26-35)
-            tx = optax.multi_transform(
-                {"train": optax.adam(lr), "freeze": optax.set_to_zero()},
-                lambda p: jax.tree_util.tree_map_with_path(
+            def labels(p):
+                lab = jax.tree_util.tree_map_with_path(
                     lambda path, _: "train"
                     if any("transformer" in str(k) for k in path)
                     else "freeze",
                     p,
-                ),
+                )
+                if not any(
+                    l == "train" for l in jax.tree_util.tree_leaves(lab)
+                ):
+                    # the reference fails loudly here too (torch Adam with an
+                    # empty param list raises); a silent all-frozen run would
+                    # burn the training budget doing nothing
+                    raise ValueError(
+                        "finetune_norm matched no trainable parameters "
+                        "(no param path contains 'transformer')"
+                    )
+                return lab
+
+            tx = optax.multi_transform(
+                {"train": optax.adam(lr), "freeze": optax.set_to_zero()}, labels
             )
         else:
             tx = optax.adam(lr)
@@ -101,9 +114,7 @@ class DiffusionModel:
         self.use_ema = bool(ema_opt.get("enabled", False))
         self.ema_decay = float(ema_opt.get("ema_decay", 0.9999))
         self.ema_start = int(ema_opt.get("step_start_ema", 5000))
-        self.ema_params = (
-            jax.tree_util.tree_map(jnp.array, self.params) if self.use_ema else None
-        )
+        self.ema_params = None  # materialized after load_network (resume-safe)
         self.global_step = 0
 
         # ---------------- schedules + resume
@@ -120,6 +131,9 @@ class DiffusionModel:
 
         self.set_new_noise_schedule(opt["model"]["beta_schedule"]["train"], "train")
         self.load_network()
+        if self.use_ema and self.ema_params is None:
+            # seeded from the (possibly restored) params, AFTER load_network
+            self.ema_params = jax.tree_util.tree_map(jnp.array, self.params)
 
     # ------------------------------------------------------------- rng
     def _next_rng(self):
@@ -214,17 +228,19 @@ class DiffusionModel:
         )
         if not self.use_ema:
             self.ema_params = None
-        self.log_dict["l_pix"] = float(loss)
+        # keep device scalars here — converting would force a host sync every
+        # step; get_current_log() materializes floats at read time (print_freq)
+        self.log_dict["l_pix"] = loss
         for k, v in logs.items():
-            self.log_dict[k] = float(v)
+            self.log_dict[k] = v
 
     # ------------------------------------------------------------- inference
-    def _infer_fn(self, kind, shape, continuous, extra=None):
-        """jitted sampler, cached per (kind, shape, T/sched-phase, continuous)."""
+    def _infer_fn(self, kind, shape, continuous, extra=None, clip_denoised=True):
+        """jitted sampler, cached per (kind, shape, schedule, continuous, clip)."""
         T_key = self.current_T if self.which in ("indi", "joint_indi") else (
             self.current_sched.num_timesteps
         )
-        key = (kind, shape, T_key, continuous, extra)
+        key = (kind, shape, self.schedule_phase, T_key, continuous, extra, clip_denoised)
         if key in self._infer_cache:
             return self._infer_cache[key]
 
@@ -263,7 +279,10 @@ class DiffusionModel:
 
             def fn(params, x_in, rng):
                 d = lambda x, t: self._apply("net", params, x, t)
-                return process.p_sample_loop(d, sched, rng, x_in, continuous=continuous)
+                return process.p_sample_loop(
+                    d, sched, rng, x_in, clip_denoised=clip_denoised,
+                    continuous=continuous,
+                )
 
         jfn = jax.jit(fn)
         self._infer_cache[key] = jfn
@@ -279,7 +298,10 @@ class DiffusionModel:
         if "continous" in _legacy:
             continuous = _legacy.pop("continous")
         x_in = self.data["input"]
-        fn = self._infer_fn("test", tuple(np.shape(x_in)), continuous, extra=t_float_start)
+        fn = self._infer_fn(
+            "test", tuple(np.shape(x_in)), continuous, extra=t_float_start,
+            clip_denoised=clip_denoised,
+        )
         params = self.ema_params if (use_ema and self.ema_params is not None) else self.params
         self.prediction = fn(params, x_in, self._next_rng())
         return self.prediction
@@ -300,14 +322,16 @@ class DiffusionModel:
         """Latent interpolation between two images (ddpm diffusion.py:249-264)."""
         assert self.which == "ddpm", "interpolate is a DDPM capability"
         sched = self.current_sched
+        key = ("interpolate", tuple(np.shape(x1)), self.schedule_phase, t, lam)
+        if key not in self._infer_cache:
+            def fn(params, x1, x2, rng):
+                d = lambda x, tt: self._apply("net", params, x, tt)
+                return self.process.interpolate(d, sched, rng, x1, x2, t=t, lam=lam)
 
-        def fn(params, x1, x2, rng):
-            d = lambda x, tt: self._apply("net", params, x, tt)
-            return self.process.interpolate(d, sched, rng, x1, x2, t=t, lam=lam)
-
+            self._infer_cache[key] = jax.jit(fn)
         x1 = shard_batch(x1, self.mesh)
         x2 = shard_batch(x2, self.mesh)
-        self.prediction = jax.jit(fn)(self.params, x1, x2, self._next_rng())
+        self.prediction = self._infer_cache[key](self.params, x1, x2, self._next_rng())
         return self.prediction
 
     def sample(self, batch_size=1, continuous=False, **_legacy):
@@ -322,7 +346,7 @@ class DiffusionModel:
 
     # ------------------------------------------------------------- logging
     def get_current_log(self):
-        return self.log_dict
+        return OrderedDict((k, float(v)) for k, v in self.log_dict.items())
 
     def get_current_visuals(self, need_LR=True, sample=False):
         out = OrderedDict()
@@ -347,7 +371,8 @@ class DiffusionModel:
         ckpt_dir = self.opt["path"]["checkpoint"]
         prefix = f"I{iter_step}_E{epoch}"
         gen_path, _ = save_checkpoint(
-            ckpt_dir, prefix, self.params, self.opt_state, epoch, iter_step
+            ckpt_dir, prefix, self.params, self.opt_state, epoch, iter_step,
+            ema_params=self.ema_params,
         )
         logger.info("Saved model in [%s] ...", gen_path)
 
@@ -357,10 +382,13 @@ class DiffusionModel:
             return
         logger.info("Loading pretrained model for G [%s] ...", load_path)
         want_opt = self.phase == "train"
-        params, opt_state, epoch, step = load_checkpoint(
-            load_path, self.params, self.opt_state if want_opt else None
+        params, opt_state, epoch, step, ema = load_checkpoint(
+            load_path, self.params, self.opt_state if want_opt else None,
+            with_ema=self.use_ema,
         )
         self.params = replicate(params, self.mesh)
+        if ema is not None:
+            self.ema_params = replicate(ema, self.mesh)
         if want_opt and opt_state is not None:
             self.opt_state = replicate(opt_state, self.mesh)
             self.begin_epoch = epoch

@@ -70,7 +70,7 @@ def main():
     template = init_on_host(
         net.init, jax.random.PRNGKey(0), jnp.zeros((1, P, P, model_opt["unet"]["in_channel"]))
     )["params"]
-    params, _, _, _ = load_checkpoint(args.resume, template)
+    params, _, _, _, _ = load_checkpoint(args.resume, template)
     predict = jax.jit(lambda x: net.apply({"params": params}, x))
 
     T = args.num_timesteps

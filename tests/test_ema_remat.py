@@ -53,3 +53,39 @@ def test_compute_dtype_config():
     m.feed_data(synth_batch())
     m.optimize_parameters()
     assert np.isfinite(m.get_current_log()["l_pix"])
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    """EMA weights persist through save/load and aren't reset to fresh params."""
+    import numpy as np
+
+    opt = tiny_opt("indi", tmp_path, in_ch=2, out_ch=2)
+    opt["train"]["ema_scheduler"] = {
+        "enabled": True, "step_start_ema": 0, "ema_decay": 0.5,
+    }
+    m = DiffusionModel(opt)
+    for i in range(3):
+        m.feed_data(synth_batch(seed=i))
+        m.optimize_parameters()
+    m.save_network(epoch=1, iter_step=3)
+    ema_before = [np.asarray(x) for x in jax.tree_util.tree_leaves(m.ema_params)]
+
+    opt2 = tiny_opt("indi", tmp_path, in_ch=2, out_ch=2)
+    opt2["train"]["ema_scheduler"] = {
+        "enabled": True, "step_start_ema": 0, "ema_decay": 0.5,
+    }
+    opt2["path"]["resume_state"] = str(tmp_path / "I3_E1")
+    m2 = DiffusionModel(opt2)
+    ema_after = [np.asarray(x) for x in jax.tree_util.tree_leaves(m2.ema_params)]
+    for a, b in zip(ema_before, ema_after):
+        np.testing.assert_allclose(a, b)
+    assert m2.global_step == 3
+
+
+def test_finetune_norm_fails_loudly():
+    import pytest
+
+    opt = tiny_opt("indi", in_ch=2, out_ch=2)
+    opt["model"]["finetune_norm"] = True
+    with pytest.raises(ValueError, match="finetune_norm"):
+        DiffusionModel(opt)

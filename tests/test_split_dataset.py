@@ -168,3 +168,35 @@ def test_numpy_loader_batching(synth):
     loader0 = NumpyLoader(ds, batch_size=5, shuffle=False, prefetch=0)
     got = list(loader0)
     assert got[-1]["input"].shape[0] == 1  # 16 % 5
+
+
+def test_loader_propagates_dataset_errors(synth):
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise RuntimeError("bad frame")
+            return {"x": np.zeros((2, 2), np.float32)}
+
+    loader = NumpyLoader(Broken(), batch_size=1, shuffle=False, prefetch=2)
+    with pytest.raises(RuntimeError, match="bad frame"):
+        for _ in loader:
+            pass
+
+
+def test_loader_early_break_no_leak(synth):
+    import threading
+
+    ds = make_ds()
+    before = threading.active_count()
+    for _ in range(5):
+        for i, _batch in enumerate(NumpyLoader(ds, batch_size=2, prefetch=2)):
+            if i == 0:
+                break
+    # workers must exit after the consumer abandons iteration
+    import time
+
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1
