@@ -102,3 +102,57 @@ def test_jittable(rng):
     out = f(rng, x_in)
     assert out.shape == (1, 8, 8, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------- DDPM chain
+def test_ddpm_parallel_exact_after_T_sweeps(rng):
+    from diffsplitting_tpu.diffusion import DDPMProcess, build_ddpm_schedule
+    from diffsplitting_tpu.diffusion.parallel_sampling import ddpm_sample_parallel
+
+    T = 6
+    sched = build_ddpm_schedule(
+        {"schedule": "linear", "n_timestep": T, "linear_start": 1e-4, "linear_end": 2e-2}
+    )
+    proc = DDPMProcess(image_size=8, channels=1, conditional=True)
+    cond = jax.random.normal(rng, (1, 8, 8, 1))
+    denoise = lambda x, t: 0.3 * x[..., -1:]  # eps-prediction from last channel
+
+    par = np.asarray(
+        ddpm_sample_parallel(proc, denoise, sched, rng, cond, num_sweeps=T)
+    )
+
+    # sequential chain with the SAME frozen init + per-step noises
+    r, init_rng = jax.random.split(rng)
+    img = jax.random.normal(init_rng, (1, 8, 8, 1))
+    keys = jax.random.split(r, T)
+    noises = [jax.random.normal(k, img.shape) for k in keys]
+    x = img
+    for i, ti in enumerate(range(T - 1, -1, -1)):
+        t_vec = jnp.array([ti])
+        eps = denoise(jnp.concatenate([cond, x], -1), t_vec.astype(jnp.float32))
+        x0 = proc.predict_start_from_noise(sched, x, t_vec, eps)
+        x0 = jnp.clip(x0, -1, 1)
+        mean, _, logvar = proc.q_posterior(sched, x0, x, t_vec)
+        mask = 1.0 if ti > 0 else 0.0
+        x = mean + mask * jnp.exp(0.5 * logvar) * noises[i]
+    np.testing.assert_allclose(par, np.asarray(x), rtol=1e-4, atol=1e-5)
+
+
+def test_ddpm_parallel_unconditional_and_tol(rng):
+    from diffsplitting_tpu.diffusion import DDPMProcess, build_ddpm_schedule
+    from diffsplitting_tpu.diffusion.parallel_sampling import ddpm_sample_parallel
+
+    T = 8
+    sched = build_ddpm_schedule(
+        {"schedule": "linear", "n_timestep": T, "linear_start": 1e-4, "linear_end": 2e-2}
+    )
+    proc = DDPMProcess(image_size=8, channels=2, conditional=False)
+    denoise = lambda x, t: 0.1 * jnp.tanh(x)
+    out = ddpm_sample_parallel(
+        proc, denoise, sched, rng, (2, 8, 8, 2), tol=1e-5
+    )
+    ref = ddpm_sample_parallel(
+        proc, denoise, sched, rng, (2, 8, 8, 2), num_sweeps=T
+    )
+    assert out.shape == (2, 8, 8, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4)
