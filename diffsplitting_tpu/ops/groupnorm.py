@@ -33,12 +33,23 @@ def group_norm_swish_reference(x, scale, bias, num_groups: int, eps: float = 1e-
     the 128-lane tile and costs ~C/G× memory traffic on TPU. Only the (B, C)
     per-channel statistics get reshaped (negligible).
     """
+    import os
+
     B, H, W, C = x.shape
     G = num_groups
     cs = C // G
     xf = x.astype(jnp.float32)
-    s = jnp.sum(xf, axis=(1, 2))  # (B, C)
-    ss = jnp.sum(xf * xf, axis=(1, 2))
+    if os.environ.get("DSP_GN_STATS") == "matmul":
+        # express the spatial reductions as ones-vector contractions so XLA
+        # schedules them on the MXU (trace showed the VPU convert+reduce
+        # fusions dominating sampler time)
+        x2d = xf.reshape(B, H * W, C)
+        ones = jnp.ones((H * W,), jnp.float32)
+        s = jnp.einsum("bnc,n->bc", x2d, ones)
+        ss = jnp.einsum("bnc,n->bc", x2d * x2d, ones)
+    else:
+        s = jnp.sum(xf, axis=(1, 2))  # (B, C)
+        ss = jnp.sum(xf * xf, axis=(1, 2))
     n = H * W * cs
     gmean = s.reshape(B, G, cs).sum(-1) / n  # (B, G)
     gsq = ss.reshape(B, G, cs).sum(-1) / n

@@ -60,7 +60,9 @@ def define_generator(opt, dtype=None) -> Tuple[object, Dict[str, UNet]]:
     common = dict(
         image_size=diffusion_opt["image_size"],
         channels=diffusion_opt["channels"],
-        loss_type=model_opt["loss_type"],
+        # the reference's sr_* configs omit loss_type; its diffusion classes
+        # default to 'l1' (ddpm diffusion.py:84, sr3 diffusion.py:70)
+        loss_type=model_opt.get("loss_type") or "l1",
         lr_reduction=model_opt.get("lr_reduction"),
         conditional=diffusion_opt["conditional"],
     )

@@ -32,7 +32,9 @@ def get_new_model_version(model_dir: str) -> str:
 def get_model_name(config) -> str:
     mtype = config["model"]["which_model_G"]
     dtype = config["datasets"]["train"]["name"]
-    ltype = config["model"]["loss_type"]
+    # sr_* configs omit loss_type (the reference crashes here on them —
+    # get_workdir was added by the fork and never exercised on the SR path)
+    ltype = config["model"].get("loss_type") or "l1"
     return f"{dtype}-{mtype}-{ltype}"
 
 

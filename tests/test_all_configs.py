@@ -1,0 +1,44 @@
+"""Every shipped config must build its generator and init (shape-level)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffsplitting_tpu.config.loader import dict_to_nonedict, load_json
+from diffsplitting_tpu.diffusion import build_ddpm_schedule
+from diffsplitting_tpu.train.factory import define_generator
+
+CFG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+CONFIGS = sorted(f for f in os.listdir(CFG_DIR) if f.endswith(".json"))
+
+
+@pytest.mark.parametrize("name", CONFIGS)
+def test_config_generator_builds(name):
+    opt = dict_to_nonedict(load_json(os.path.join(CFG_DIR, name)))
+    if opt["model"]["which_model_G"] == "UnetClassifier":
+        pytest.skip("time-predictor config uses its own training script")
+
+    process, nets = define_generator(opt)
+    in_ch = opt["model"]["unet"]["in_channel"]
+    size = opt["model"]["diffusion"]["image_size"]
+    x = jnp.zeros((1, size, size, in_ch), jnp.float32)
+    t = jnp.ones((1,), jnp.float32)
+    for net in nets.values():
+        # eval_shape: full init graph without running any FLOPs
+        shapes = jax.eval_shape(net.init, jax.random.PRNGKey(0), x, t)
+        n_params = sum(
+            int(jnp.prod(jnp.asarray(s.shape))) if s.shape else 1
+            for s in jax.tree_util.tree_leaves(shapes)
+        )
+        assert n_params > 1000
+
+    # schedules parse for both phases
+    for phase in ("train", "val"):
+        sched_opt = opt["model"]["beta_schedule"][phase]
+        if opt["model"]["which_model_G"] in ("ddpm", "sr3"):
+            sched = build_ddpm_schedule(sched_opt)
+            assert sched.num_timesteps == int(sched_opt["n_timestep"])
+        else:
+            assert int(sched_opt["n_timestep"]) > 0
