@@ -112,3 +112,73 @@ def test_evaluate_joint_indi_script(tmp_path):
     assert "1" in metrics or 1 in metrics
     vals = list(metrics.values())[0]
     assert np.isfinite(vals["psnr_ch0"]) and np.isfinite(vals["psnr_ch1"])
+
+
+def test_predict_cli(tmp_path):
+    """predict.py: checkpoint-free smoke via a fresh-trained tiny checkpoint."""
+    from diffsplitting_tpu.config import dict_to_nonedict
+    from diffsplitting_tpu.train import DiffusionModel
+
+    # train a tiny indi model for 1 step and save a checkpoint
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    opt = dict_to_nonedict({
+        "name": "p", "phase": "train",
+        "path": {"checkpoint": str(ckpt_dir), "resume_state": None},
+        "model": {
+            "which_model_G": "indi", "loss_type": "l1", "lr_reduction": "mean",
+            "finetune_norm": False,
+            "unet": {"in_channel": 2, "out_channel": 2, "inner_channel": 8,
+                     "norm_groups": 4, "channel_multiplier": [1, 2], "attn_res": [],
+                     "res_blocks": 1, "dropout": 0},
+            "beta_schedule": {
+                "train": {"schedule": "linear", "n_timestep": 10,
+                          "linear_start": 1e-6, "linear_end": 1e-2},
+                "val": {"schedule": "linear", "n_timestep": 2,
+                        "linear_start": 1e-6, "linear_end": 1e-2}},
+            "diffusion": {"image_size": 32, "channels": 2, "conditional": False}},
+        "train": {"n_iter": 1, "optimizer": {"type": "adam", "lr": 1e-3}},
+    })
+    m = DiffusionModel(opt)
+    rng = np.random.default_rng(0)
+    m.feed_data({"input": rng.normal(size=(2, 32, 32, 1)).astype(np.float32),
+                 "target": rng.normal(size=(2, 32, 32, 2)).astype(np.float32)})
+    m.optimize_parameters()
+    m.save_network(epoch=1, iter_step=1)
+
+    # config file + mixed input TIFF for the CLI
+    cfg = {
+        "name": "p", "phase": "val", "gpu_ids": [0],
+        "path": {"root": str(tmp_path), "log": "logs", "results": "results",
+                 "checkpoint": "checkpoint", "resume_state": None},
+        "datasets": {"patch_size": 32, "max_qval": 1.0, "channel_weights": [1, 1],
+                     "train": {"name": "Hagen", "uncorrelated_channels": False,
+                               "batch_size": 2, "use_shuffle": False,
+                               "datapath": {"ch0": "x", "ch1": "y"}},
+                     "val": {"name": "Hagen",
+                             "datapath": {"ch0": "x", "ch1": "y"}}},
+        "model": dict(opt["model"]),
+        "train": dict(opt["train"]),
+        "wandb": {"project": "p"},
+    }
+    cfg_path = tmp_path / "pred_cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    from tests.test_cli_e2e import write_tiff
+
+    write_tiff(str(tmp_path / "mixed.tif"), n=1, h=64, w=64, seed=3)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = run_cli(
+        "predict.py",
+        ["-c", str(cfg_path), "--resume", str(ckpt_dir / "I1_E1"),
+         "--input", str(tmp_path / "mixed.tif"), "--out", str(tmp_path / "pred"),
+         "--num_steps", "2", "--batch_size", "4", "--png_preview"],
+        cwd=repo,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    from diffsplitting_tpu.data.io import load_tiff_stack
+
+    ch0 = load_tiff_stack(str(tmp_path / "pred" / "pred_ch0.tif"))
+    assert ch0.shape == (1, 64, 64)
+    assert (tmp_path / "pred" / "preview_ch0.png").exists()
