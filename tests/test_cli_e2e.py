@@ -129,6 +129,25 @@ def test_split_train_cli(hagen_cfg):
     results = list((model_dir / "results").rglob("*.png"))
     assert results, "validation must dump pngs"
 
+    # ---- val phase: resume the checkpoint and run the eval branch
+    ckpts = list((model_dir / "checkpoint").glob("I4_E*_gen"))
+    assert ckpts
+    prefix = str(ckpts[0])[: -len("_gen")]
+    cfg = json.loads(cfg_path.read_text())
+    cfg["path"]["resume_state"] = prefix
+    val_cfg = cfg_path.parent / "cfg_val.json"
+    val_cfg.write_text(json.dumps(cfg))
+    res = run_cli(
+        "split.py",
+        ["-p", "val", "-c", str(val_cfg), "-rootdir", str(tmp / "exp")],
+        cwd=repo,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    val_dirs = [d for d in (tmp / "exp").rglob("Hagen-indi-l1/*") if d.name == "1"]
+    assert val_dirs
+    val_log = (val_dirs[0] / "logs" / "train.log").read_text()
+    assert "PSNR" in val_log and "SSIM" in val_log
+
 
 def test_eval_cli(tmp_path):
     """eval.py pairs *_hr/*_sr pngs and prints averages."""
