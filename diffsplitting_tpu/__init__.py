@@ -18,3 +18,10 @@ Design principles (TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def create_model(opt, **kwargs):
+    """Top-level factory (reference `Model.create_model(opt)` parity)."""
+    from diffsplitting_tpu.train import create_model as _create
+
+    return _create(opt, **kwargs)

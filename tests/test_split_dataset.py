@@ -200,3 +200,18 @@ def test_loader_early_break_no_leak(synth):
 
     time.sleep(0.5)
     assert threading.active_count() <= before + 1
+
+
+def test_augment_paired_coherence():
+    from diffsplitting_tpu.data.augment import augment
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(8, 8, 1)).astype(np.float32)
+    b = a * 2
+    # val split: never flips
+    oa, ob = augment([a, b], split="val", rng=np.random.default_rng(1))
+    np.testing.assert_array_equal(oa, a)
+    # train split: both images get the SAME transform
+    for seed in range(5):
+        oa, ob = augment([a, b], split="train", rng=np.random.default_rng(seed))
+        np.testing.assert_allclose(ob, oa * 2)
