@@ -147,10 +147,8 @@ class DDPMProcess:
             cond = None
 
         markers = list(range(T - 1, -1, -1))
-        flags, slots = capture_plan(markers, sample_inter, include_last=False)
         step_keys = jax.random.split(rng, T)
         ts = jnp.asarray(markers, dtype=jnp.int32)
-
         b = shape[0]
 
         def step(x, _, inp):
@@ -161,12 +159,20 @@ class DDPMProcess:
             )
             return x, None
 
-        final_img, _, frames = scan_with_trajectory(
+        if not continuous:
+            # no trajectory buffer: plain scan, final image only
+            def body(x, inp):
+                x, _ = step(x, None, inp)
+                return x, None
+
+            final_img, _ = jax.lax.scan(body, img, (step_keys, ts))
+            return final_img
+
+        flags, slots = capture_plan(markers, sample_inter, include_last=False)
+        _, _, frames = scan_with_trajectory(
             step, img, init_frame, (step_keys, ts), flags, slots
         )
-        if continuous:
-            return frames
-        return final_img
+        return frames
 
     def sample(self, denoise_fn, sched, rng, batch_size=1, continuous=False):
         shape = (batch_size, self.image_size, self.image_size, self.channels)

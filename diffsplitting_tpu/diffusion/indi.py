@@ -171,7 +171,6 @@ class InDIProcess:
         b = x_in.shape[0]
 
         markers = list(range(N))
-        flags, slots = capture_plan(markers, sample_inter, include_last=True)
         step_keys = jax.random.split(rng, N)
         # cur_t at entry of step idx: t_start - idx*delta (float32 to match device math)
         cur_ts = t_float_start - delta * jnp.arange(N, dtype=jnp.float32)
@@ -184,7 +183,14 @@ class InDIProcess:
             x = (delta / t_cur) * x0 + (1 - delta / t_cur) * x + noise
             return x, None
 
-        final_x, _, frames = scan_with_trajectory(step, x_t, x_t, (step_keys, cur_ts), flags, slots)
-        if continuous:
-            return frames
-        return final_x
+        if not continuous:
+            def body(x, inp):
+                x, _ = step(x, None, inp)
+                return x, None
+
+            final_x, _ = jax.lax.scan(body, x_t, (step_keys, cur_ts))
+            return final_x
+
+        flags, slots = capture_plan(markers, sample_inter, include_last=True)
+        _, _, frames = scan_with_trajectory(step, x_t, x_t, (step_keys, cur_ts), flags, slots)
+        return frames

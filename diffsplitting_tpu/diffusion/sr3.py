@@ -93,7 +93,6 @@ class SR3Process:
             cond = None
 
         markers = list(range(T - 1, -1, -1))
-        flags, slots = capture_plan(markers, sample_inter, include_last=False)
         step_keys = jax.random.split(rng, T)
         ts = jnp.asarray(markers, dtype=jnp.int32)
 
@@ -102,10 +101,17 @@ class SR3Process:
             x = self.p_sample(denoise_fn, sched, key, x, i, clip_denoised=clip_denoised, condition_x=cond)
             return x, None
 
-        final_img, _, frames = scan_with_trajectory(step, img, init_frame, (step_keys, ts), flags, slots)
-        if continuous:
-            return frames
-        return final_img
+        if not continuous:
+            def body(x, inp):
+                x, _ = step(x, None, inp)
+                return x, None
+
+            final_img, _ = jax.lax.scan(body, img, (step_keys, ts))
+            return final_img
+
+        flags, slots = capture_plan(markers, sample_inter, include_last=False)
+        _, _, frames = scan_with_trajectory(step, img, init_frame, (step_keys, ts), flags, slots)
+        return frames
 
     def sample(self, denoise_fn, sched, rng, batch_size=1, continuous=False):
         shape = (batch_size, self.image_size, self.image_size, self.channels)
