@@ -34,3 +34,32 @@ def test_prepare_png_triplets(tmp_path):
         assert len(files) == 3
         img = np.asarray(Image.open(files[0]))
         assert img.shape[:2] == (size, size)
+
+
+def test_hagen_split_script(tmp_path):
+    """scripts/hagen_train_val_test_split.py: seeded 80/10/10 frame split."""
+    import subprocess, sys, os
+
+    from tests.test_cli_e2e import run_cli
+
+    actin = tmp_path / "actin-60x.tif"
+    mito = tmp_path / "mito-60x.tif"
+    rng = np.random.default_rng(0)
+    save_tiff_stack(str(actin), rng.integers(0, 999, (10, 8, 8), dtype=np.uint16))
+    save_tiff_stack(str(mito), rng.integers(0, 999, (10, 8, 8), dtype=np.uint16))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = run_cli(
+        "scripts/hagen_train_val_test_split.py",
+        ["--actin", str(actin), "--mito", str(mito), "--out", str(tmp_path / "out")],
+        cwd=repo,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    train = load_tiff_stack(str(tmp_path / "out/train/train_actin-60x.tif"))
+    val = load_tiff_stack(str(tmp_path / "out/val/val_actin-60x.tif"))
+    test = load_tiff_stack(str(tmp_path / "out/test/test_actin-60x.tif"))
+    assert len(train) == 8 and len(val) == 1 and len(test) == 1
+    # frames are a permutation of the input (no duplication/loss)
+    allf = np.concatenate([train, val, test])
+    orig = load_tiff_stack(str(actin))
+    assert sorted(map(lambda f: f.tobytes(), allf)) == sorted(map(lambda f: f.tobytes(), orig))
