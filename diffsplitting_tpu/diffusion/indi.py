@@ -4,7 +4,8 @@ Behavior parity with /root/reference/model/ddpm_modules/indi.py:
   * forward bridge (:116-124): x_t = (1-t)·x_start + t·x_end + ε·(t·e), with
     t ∈ (0,1] continuous per-sample and perturbation magnitude
     `get_t_times_e` (:106-110): gaussian/none → e·t, brownian → e·√t.
-  * t-sampling strategies (:126-150): uniform / linear_ramp / quadratic_ramp /
+  * t-sampling strategies (:126-150): uniform / uniform_in_range
+    (t ∈ {(2T)//3..T}/T, :139-140) / linear_ramp / quadratic_ramp /
     linear_indi (uniform over {1..T-1}/T then snap to max with prob
     1-1/(a+1)); the joint-InDI variants (joint_indi.py:10-36) restrict the
     range and snap to T/2.
@@ -51,7 +52,9 @@ class InDIProcess:
         num_timesteps: Optional[int] = None,
         val_num_timesteps: Optional[int] = None,
     ):
-        assert t_sampling_mode in ("uniform", "linear_ramp", "quadratic_ramp", "linear_indi")
+        assert t_sampling_mode in (
+            "uniform", "uniform_in_range", "linear_ramp", "quadratic_ramp", "linear_indi"
+        )
         assert noise_mode in ("gaussian", "brownian", "none")
         assert t_variant in T_VARIANTS
         self.image_size = image_size
@@ -108,6 +111,9 @@ class InDIProcess:
             t = self._snap_to_max(rng, t, maxv)
         elif mode == "uniform":
             t = jax.random.randint(rng, (batch_size,), 1, T + 1)
+        elif mode == "uniform_in_range":
+            # indi.py:139-140 — t ∈ {(2T)//3 .. T}
+            t = jax.random.randint(rng, (batch_size,), (2 * T) // 3, T + 1)
         elif mode == "linear_ramp":
             p = jnp.arange(T, dtype=jnp.float32)
             t = jax.random.choice(rng, T, (batch_size,), p=p / p.sum())

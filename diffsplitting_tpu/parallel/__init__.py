@@ -3,6 +3,8 @@ from .mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    host_local_slice,
+    plan_batch_placement,
     replicate,
 )
 
@@ -11,5 +13,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "host_local_slice",
+    "plan_batch_placement",
     "replicate",
 ]

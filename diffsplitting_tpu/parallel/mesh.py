@@ -57,22 +57,66 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Optional[Mesh], axis: str = "data"):
-    """device_put a pytree of host arrays with the batch axis sharded.
+def plan_batch_placement(dim0: Optional[int], n_devices: int, process_count: int) -> str:
+    """Decide 'shard' vs 'replicate' for one array of leading-dim `dim0`.
 
-    Falls back to replication when the batch size doesn't divide the mesh
-    (e.g. the reference's batch=1 validation loader).
+    `dim0` is the PER-PROCESS leading dim (each process feeds its local slice
+    on multi-host runs); the global batch is dim0 * process_count and must
+    divide the mesh for sharding. None (scalar arrays) always replicates.
+    """
+    if dim0 is None:
+        return "replicate"
+    global_b = dim0 * process_count
+    return "shard" if global_b % n_devices == 0 else "replicate"
+
+
+def host_local_slice(x, process_index: Optional[int] = None, process_count: Optional[int] = None):
+    """The contiguous per-host slice of a global host batch.
+
+    Data-loading contract on multi-host pods (SURVEY §2.5): each process
+    loads/feeds only `host_local_slice(global_batch)` — process p gets rows
+    [p·B/P, (p+1)·B/P). Single-process: identity.
+    """
+    p = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    if n == 1:
+        return x
+    x = np.asarray(x)
+    assert x.shape[0] % n == 0, (
+        f"global batch {x.shape[0]} must divide process count {n}"
+    )
+    per = x.shape[0] // n
+    return x[p * per : (p + 1) * per]
+
+
+def shard_batch(batch, mesh: Optional[Mesh], axis: str = "data"):
+    """Place a pytree of host arrays on the mesh with the batch axis sharded.
+
+    Falls back to replication when the (global) batch size doesn't divide the
+    mesh (e.g. the reference's batch=1 validation loader).
+
+    Multi-host (`jax.process_count() > 1`): each process passes only its LOCAL
+    slice of the global batch (see `host_local_slice`); global arrays are
+    assembled with `jax.make_array_from_process_local_data`, so no host ever
+    materializes or transfers the full batch. Single-process behavior is a
+    plain device_put of the full batch (identical to before).
     """
     if mesh is None:
         return jax.tree_util.tree_map(jax.numpy.asarray, batch)
 
     n = mesh.devices.size
+    procs = jax.process_count()
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n == 0:
-            return jax.device_put(x, batch_sharding(mesh, x.ndim, axis))
-        return jax.device_put(x, replicated_sharding(mesh))
+        dim0 = x.shape[0] if x.ndim >= 1 else None
+        if plan_batch_placement(dim0, n, procs) == "shard":
+            sharding = batch_sharding(mesh, x.ndim, axis)
+        else:
+            sharding = replicated_sharding(mesh)
+        if procs > 1:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -22,15 +22,24 @@ def _to_numpy(t):
     return np.asarray(t)
 
 
-def _make_grid(batch_hwc: np.ndarray) -> np.ndarray:
-    """(N,H,W,C) -> single (H*rows, W*cols, C) grid image, √N per row."""
+def _make_grid(batch_hwc: np.ndarray, padding: int = 2, pad_value: float = 0.0) -> np.ndarray:
+    """(N,H,W,C) -> grid image with √N images per row, `padding` px borders.
+
+    Matches torchvision make_grid geometry (reference core/metrics.py:20 uses
+    the default padding=2): each tile is inset by `padding` with a border all
+    round, so the output is ((H+p)·rows+p, (W+p)·cols+p, C).
+    """
     n, h, w, c = batch_hwc.shape
-    ncols = int(math.sqrt(n)) or 1
+    ncols = min(int(math.sqrt(n)) or 1, n)
     nrows = int(math.ceil(n / ncols))
-    grid = np.zeros((nrows * h, ncols * w, c), dtype=batch_hwc.dtype)
+    hp, wp = h + padding, w + padding
+    grid = np.full(
+        (hp * nrows + padding, wp * ncols + padding, c), pad_value, dtype=batch_hwc.dtype
+    )
     for i in range(n):
         r, cc = divmod(i, ncols)
-        grid[r * h : (r + 1) * h, cc * w : (cc + 1) * w] = batch_hwc[i]
+        y, x = r * hp + padding, cc * wp + padding
+        grid[y : y + h, x : x + w] = batch_hwc[i]
     return grid
 
 
@@ -83,31 +92,50 @@ def calculate_psnr(img1, img2):
     return 20 * math.log10(255.0 / math.sqrt(mse))
 
 
-def _ssim_single(img1, img2):
+_SSIM_WIN = 11
+_SSIM_SIGMA = 1.5
+
+
+def _gaussian_window(size: int = _SSIM_WIN, sigma: float = _SSIM_SIGMA) -> np.ndarray:
+    ax = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(ax**2) / (2.0 * sigma**2))
+    g /= g.sum()
+    return np.outer(g, g)
+
+
+def _ssim_single(img1: np.ndarray, img2: np.ndarray) -> float:
+    """MATLAB-style SSIM of one 2-D [0,255] plane (11×11 gaussian, σ=1.5,
+    valid-region crop). Reference contract: core/metrics.py:72-93."""
     import cv2
 
-    C1 = (0.01 * 255) ** 2
-    C2 = (0.03 * 255) ** 2
-    img1 = img1.astype(np.float64)
-    img2 = img2.astype(np.float64)
-    kernel = cv2.getGaussianKernel(11, 1.5)
-    window = np.outer(kernel, kernel.T)
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    x = img1.astype(np.float64)
+    y = img2.astype(np.float64)
+    win = _gaussian_window()
+    half = _SSIM_WIN // 2
 
-    mu1 = cv2.filter2D(img1, -1, window)[5:-5, 5:-5]
-    mu2 = cv2.filter2D(img2, -1, window)[5:-5, 5:-5]
-    mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2
-    sigma1_sq = cv2.filter2D(img1**2, -1, window)[5:-5, 5:-5] - mu1_sq
-    sigma2_sq = cv2.filter2D(img2**2, -1, window)[5:-5, 5:-5] - mu2_sq
-    sigma12 = cv2.filter2D(img1 * img2, -1, window)[5:-5, 5:-5] - mu1_mu2
+    def blur(a):
+        return cv2.filter2D(a, -1, win)[half:-half, half:-half]
 
-    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
-        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
-    )
-    return ssim_map.mean()
+    mu_x, mu_y = blur(x), blur(y)
+    var_x = blur(x * x) - mu_x * mu_x
+    var_y = blur(y * y) - mu_y * mu_y
+    cov = blur(x * y) - mu_x * mu_y
+    num = (2 * mu_x * mu_y + c1) * (2 * cov + c2)
+    den = (mu_x * mu_x + mu_y * mu_y + c1) * (var_x + var_y + c2)
+    return float((num / den).mean())
 
 
 def calculate_ssim(img1, img2):
-    """MATLAB-compatible SSIM on [0,255] images (HW or HWC)."""
+    """MATLAB-compatible SSIM on [0,255] images (HW or HWC, any C).
+
+    Per-channel SSIM averaged over channels. Deviation from the reference,
+    listed in PARITY.md: core/metrics.py:104-109 loops `ssim(img1, img2)`
+    3× over the FULL array instead of per channel — numerically that equals
+    this per-channel mean (cv2.filter2D filters each channel independently)
+    but does 3× the work and rejects C∉{1,3}; here it is computed once per
+    channel and accepts the 2/6-channel splitting outputs too.
+    """
     img1 = _to_numpy(img1)
     img2 = _to_numpy(img2)
     if img1.shape != img2.shape:
@@ -115,8 +143,9 @@ def calculate_ssim(img1, img2):
     if img1.ndim == 2:
         return _ssim_single(img1, img2)
     if img1.ndim == 3:
-        if img1.shape[2] == 3:
-            return np.mean([_ssim_single(img1, img2) for _ in range(3)])
-        if img1.shape[2] == 1:
-            return _ssim_single(np.squeeze(img1), np.squeeze(img2))
+        return float(
+            np.mean(
+                [_ssim_single(img1[..., c], img2[..., c]) for c in range(img1.shape[2])]
+            )
+        )
     raise ValueError("Wrong input image dimensions.")

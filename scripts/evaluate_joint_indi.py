@@ -74,7 +74,19 @@ def main():
     ap.add_argument("--mmse", type=int, default=1, help="avg over N samples (notebook N=1/5)")
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--out", default=None, help="write metrics JSON here")
+    ap.add_argument(
+        "--lpips-weights", default=None,
+        help="local AlexNet-LPIPS weights (.npz or torch .pth, see "
+        "utils/lpips.py); when given, LPIPS is reported alongside PSNR "
+        "(EvaluateJointIndi.ipynb cells 30-34)",
+    )
     args = ap.parse_args()
+
+    lpips_params = None
+    if args.lpips_weights:
+        from diffsplitting_tpu.utils.lpips import load_lpips_weights
+
+        lpips_params = load_lpips_weights(args.lpips_weights)
 
     opt = dict_to_nonedict(load_json(args.config))
     opt["phase"] = "val"
@@ -106,6 +118,26 @@ def main():
         psnr1 = RangeInvariantPsnr(targets[..., 1], pred[..., 1]).mean()
         results[n_steps] = {"psnr_ch0": float(psnr0), "psnr_ch1": float(psnr1)}
         print(f"N={n_steps}: RangeInvariantPSNR ch0={psnr0:.2f} dB ch1={psnr1:.2f} dB")
+
+        if lpips_params is not None:
+            from diffsplitting_tpu.utils.lpips import lpips_grayscale
+
+            # per-channel LPIPS on [-1,1]-scaled frames (notebook convention)
+            def to_pm1(a):
+                lo, hi = a.min(), a.max()
+                return (2.0 * (a - lo) / max(hi - lo, 1e-8) - 1.0).astype(np.float32)
+
+            for ch in (0, 1):
+                d = lpips_grayscale(
+                    lpips_params,
+                    to_pm1(targets[..., ch])[..., None],
+                    to_pm1(pred[..., ch])[..., None],
+                )
+                results[n_steps][f"lpips_ch{ch}"] = float(np.mean(np.asarray(d)))
+            print(
+                f"N={n_steps}: LPIPS ch0={results[n_steps]['lpips_ch0']:.4f} "
+                f"ch1={results[n_steps]['lpips_ch1']:.4f}"
+            )
 
     if args.out:
         with open(args.out, "w") as f:

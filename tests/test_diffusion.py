@@ -181,7 +181,8 @@ def test_indi_trajectory_frame_count(n_timestep, rng):
 def test_indi_sample_t_ranges(rng):
     T = 20
     proc = InDIProcess(image_size=8, out_channel=2, conditional=False)
-    for mode in ["linear_indi", "uniform", "linear_ramp", "quadratic_ramp"]:
+    for mode in ["linear_indi", "uniform", "uniform_in_range", "linear_ramp",
+                 "quadratic_ramp"]:
         proc.t_sampling_mode = mode
         t = np.asarray(proc.sample_t(rng, 512, T))
         assert t.min() >= 0.0 and t.max() <= 1.0
@@ -189,6 +190,12 @@ def test_indi_sample_t_ranges(rng):
             # snap probability 1 - 1/(a+1) = 0.5 for a=1
             frac_max = (t == 1.0).mean()
             assert 0.35 < frac_max < 0.65
+        if mode == "uniform_in_range":
+            # reference indi.py:139-140 — t ∈ {(2T)//3 .. T}/T
+            scaled = np.unique(np.round(t * T).astype(int))
+            assert scaled.min() >= (2 * T) // 3 and scaled.max() <= T
+            # all integer values in the range appear at 512 draws over 8 values
+            assert set(scaled) == set(range((2 * T) // 3, T + 1))
         if mode in ("linear_ramp", "quadratic_ramp"):
             assert (t == 0.0).mean() == 0.0  # zero weight at t=0
 

@@ -73,7 +73,30 @@ def test_tensor2img_ranges():
 
     batch = np.zeros((4, 8, 8, 3), np.float32)
     grid = tensor2img(batch)
-    assert grid.shape == (16, 16, 3)
+    # torchvision make_grid geometry: (H+2)*rows+2 with 2px padding
+    assert grid.shape == (22, 22, 3)
+
+
+def test_psnr_ssim_golden_values():
+    """Golden constants computed by EXECUTING /root/reference/core/metrics.py
+    (calculate_psnr/calculate_ssim) on these exact seeded inputs — guards
+    MATLAB-PSNR/SSIM parity at full float precision."""
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 256, (48, 48)).astype(np.uint8)
+    b = np.clip(a.astype(int) + rng.integers(-25, 26, a.shape), 0, 255).astype(np.uint8)
+    assert calculate_psnr(a, b) == pytest.approx(24.9927811238, abs=1e-8)
+    assert calculate_ssim(a, b) == pytest.approx(0.9805471706, abs=1e-8)
+
+    a3 = rng.integers(0, 256, (48, 48, 3)).astype(np.uint8)
+    b3 = np.clip(a3.astype(int) + rng.integers(-25, 26, a3.shape), 0, 255).astype(np.uint8)
+    assert calculate_psnr(a3, b3) == pytest.approx(25.0075036063, abs=1e-8)
+    assert calculate_ssim(a3, b3) == pytest.approx(0.9803480066, abs=1e-8)
+
+    # beyond-reference: 2-channel splitting outputs are accepted and equal the
+    # per-channel mean
+    a2, b2 = a3[..., :2], b3[..., :2]
+    per_ch = np.mean([calculate_ssim(a2[..., c], b2[..., c]) for c in range(2)])
+    assert calculate_ssim(a2, b2) == pytest.approx(per_ch, abs=1e-12)
 
 
 def test_save_img_multichannel(tmp_path):

@@ -52,6 +52,66 @@ def test_shard_batch_scalars_and_no_mesh():
     assert out2["x"].shape == (4,)
 
 
+def test_plan_batch_placement_multihost():
+    from diffsplitting_tpu.parallel.mesh import plan_batch_placement
+
+    # single-process: global batch == local batch
+    assert plan_batch_placement(16, 8, 1) == "shard"
+    assert plan_batch_placement(3, 8, 1) == "replicate"
+    assert plan_batch_placement(None, 8, 1) == "replicate"
+    # 4 hosts × local 4 = global 16 over 8 devices → shard, even though the
+    # LOCAL dim (4) doesn't divide the mesh
+    assert plan_batch_placement(4, 8, 4) == "shard"
+    # 2 hosts × local 1 = global 2 over 8 → replicate
+    assert plan_batch_placement(1, 8, 2) == "replicate"
+    # 2 hosts × local 2 = global 4 over 8 → replicate (4 % 8 != 0)
+    assert plan_batch_placement(2, 8, 2) == "replicate"
+
+
+def test_host_local_slice():
+    from diffsplitting_tpu.parallel.mesh import host_local_slice
+
+    x = np.arange(16).reshape(16, 1)
+    # single-process identity
+    np.testing.assert_array_equal(host_local_slice(x, 0, 1), x)
+    # 4 processes: contiguous quarters
+    parts = [host_local_slice(x, p, 4) for p in range(4)]
+    assert all(p.shape == (4, 1) for p in parts)
+    np.testing.assert_array_equal(np.concatenate(parts), x)
+    with pytest.raises(AssertionError):
+        host_local_slice(np.zeros((5, 1)), 0, 4)
+
+
+def test_shard_batch_multihost_path(monkeypatch):
+    """On process_count>1, shard_batch must assemble globals from per-process
+    local shards via jax.make_array_from_process_local_data (never a plain
+    device_put of the full batch)."""
+    from diffsplitting_tpu.parallel import mesh as mesh_mod
+
+    mesh = make_mesh()
+    calls = []
+
+    def fake_from_local(sharding, x, *a, **k):
+        calls.append((sharding, np.asarray(x).shape))
+        # stand-in: a local device_put can't express the global assembly the
+        # real API performs, so just hand back a replicated placeholder
+        return jax.device_put(x, replicated_sharding(mesh))
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 4)
+    monkeypatch.setattr(
+        mesh_mod.jax, "make_array_from_process_local_data", fake_from_local
+    )
+    # local batch 2 → global 8 → shard; scalar → replicate
+    out = shard_batch(
+        {"x": np.zeros((2, 4, 4, 1), np.float32), "i": np.int64(3)}, mesh
+    )
+    assert len(calls) == 2
+    specs = {shape: sh.spec for sh, shape in calls}
+    assert specs[(2, 4, 4, 1)] == P("data", None, None, None)
+    assert specs[()] == P()
+    assert out["x"].shape == (2, 4, 4, 1)
+
+
 def test_replicate_params():
     mesh = make_mesh()
     tree = {"w": np.ones((4, 4), np.float32)}
