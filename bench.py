@@ -80,7 +80,9 @@ def build():
     params = jax.device_put(params, jax.devices()[0])
 
     def sample(params, cond, rng):
-        denoise = lambda xx, tt: net.apply(params, xx, tt)
+        from diffsplitting_tpu.models import apply_unet
+
+        denoise = lambda xx, tt: apply_unet(net, params, xx, tt)  # noqa: E731
         return process.p_sample_loop(denoise, sched, rng, cond, continuous=False)
 
     return jax.jit(sample), params, x

@@ -1,4 +1,5 @@
 from .unet import UNet
+from .fused_forward import apply_unet, fused_unet_apply, fused_enabled
 from .time_predictor import TimePredictor
 from .blocks import (
     TimeEmbedding,
@@ -14,6 +15,9 @@ from .blocks import (
 
 __all__ = [
     "UNet",
+    "apply_unet",
+    "fused_unet_apply",
+    "fused_enabled",
     "TimePredictor",
     "TimeEmbedding",
     "PositionalEncoding",

@@ -400,12 +400,12 @@ def conv_gn_fused(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # x stays in HBM
             const(B, Cin),                                 # scale
             const(B, Cin),                                 # shift
             const(9, Cin, Cout),                           # w
             const(1, Cout),                                # bias
-            pl.BlockSpec(memory_space=pltpu.ANY),          # residual (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),          # residual (HBM)
             const(*w_skip.shape),                          # w_skip
         ],
         out_specs=[y_spec, stats_spec],
