@@ -11,15 +11,12 @@ normalize. This kernel makes the whole chain one-write-one-read per tensor:
     math over the carried statistics, see `fold_gn_affine`) and applied with
     swish in VMEM as the conv reads its input — no normalized tensor ever
     hits HBM;
-  * body: the 3×3 conv as 9 shifted (TILE_H·W, Cin) @ (Cin, Cout) MXU
-    matmuls accumulated in f32;
+  * body: the 3×3 conv as 3 row-shifted (TILE_H·Wp, 3·Cin) @ (3·Cin, Cout)
+    MXU matmuls accumulated in f32 (the 3 kw taps concat on lanes);
   * epilogue: bias, optional residual add (identity or 1×1-projected — the
     ResnetBlock skip, reference ddpm_modules/unet.py:94-96), and per-channel
     f32 Σy / Σy² over the spatial dims — the statistics the NEXT GroupNorm
     needs, emitted for free while the tile is still in VMEM.
-
-Two DMA layouts (Mosaic constraint: HBM row slices need the lane dim C to be
-a multiple of 128):
 
 Mosaic constrains HBM row slicing (and XLA may hand ANY-space inputs in
 lane-padded layouts), so the kernel requires ALL channel dims ≡ 0 mod 128:
@@ -204,18 +201,22 @@ def _window_conv(window, t_idx, sc, sh, w_ref, *, H, W, Cin, Cout, TILE_H, act):
     zr = jnp.zeros((TILE_H + 2, Wp - W - 1, Cin), xa.dtype)
     flat = jnp.concatenate([zl, xa, zr], axis=1).reshape((TILE_H + 2) * Wp, Cin)
 
-    acc = jnp.zeros((TILE_H * Wp, Cout), jnp.float32)
     zrow = jnp.zeros((2, Cin), flat.dtype)
-    for kw in range(3):
-        # out[j] = flat[j+kw]: one unaligned sublane slice (relayout copy) per
-        # kw — Mosaic has no bf16 sublane rotate; tail rows only ever feed
-        # discarded pad-column outputs, zeros keep them harmless
-        rot = flat if kw == 0 else jnp.concatenate([flat[kw:], zrow[:kw]], 0)
-        for kh in range(3):
-            patch = rot[kh * Wp : kh * Wp + TILE_H * Wp]  # aligned, free
-            acc = acc + jnp.dot(
-                patch, w_ref[kh * 3 + kw], preferred_element_type=jnp.float32
-            )
+    # out[j] = flat[j+kw]: one unaligned sublane slice (relayout copy) per kw
+    # shift — Mosaic has no bf16 sublane rotate; tail rows only ever feed
+    # discarded pad-column outputs, zeros keep them harmless. The three shifts
+    # concat on LANES so each kh row-slice is ONE K=3·Cin MXU dot (the w_ref
+    # layout (3, 3Cin, Cout) is exactly w.reshape(3,3,Cin,Cout) kw-major).
+    xcat = jnp.concatenate(
+        [flat] + [jnp.concatenate([flat[kw:], zrow[:kw]], 0) for kw in (1, 2)],
+        axis=-1,
+    )  # ((TILE_H+2)·Wp, 3·Cin)
+    acc = jnp.zeros((TILE_H * Wp, Cout), jnp.float32)
+    for kh in range(3):
+        patch = xcat[kh * Wp : kh * Wp + TILE_H * Wp]  # aligned, free
+        acc = acc + jnp.dot(
+            patch, w_ref[kh], preferred_element_type=jnp.float32
+        )
     # drop the garbage pad columns
     return acc.reshape(TILE_H, Wp, Cout)[:, :W, :]
 
@@ -361,7 +362,7 @@ def conv_gn_fused(
                                  out_dtype)
 
     dtype = x.dtype
-    wk = w.reshape(9, Cin, Cout).astype(dtype)
+    wk = w.reshape(3, 3 * Cin, Cout).astype(dtype)  # kh-major, K=[kw0|kw1|kw2]
     if act:
         scale = scale.astype(jnp.float32)
         shift = shift.astype(jnp.float32)
@@ -403,7 +404,7 @@ def conv_gn_fused(
             pl.BlockSpec(memory_space=pl.ANY),          # x stays in HBM
             const(B, Cin),                                 # scale
             const(B, Cin),                                 # shift
-            const(9, Cin, Cout),                           # w
+            const(3, 3 * Cin, Cout),                       # w
             const(1, Cout),                                # bias
             pl.BlockSpec(memory_space=pl.ANY),          # residual (HBM)
             const(*w_skip.shape),                          # w_skip
