@@ -333,17 +333,18 @@ def _xla_block(st: ST, bp, groups, dtype, Cout, residual: Optional[ST] = None,
 
 
 def fused_enabled() -> bool:
-    """Fused inference path: on by default on single-chip TPU backends,
-    DSP_FUSED=0 disables (A/B), DSP_FUSED=1 forces it. Multi-chip default
-    stays off: pallas_call has no GSPMD partitioning rule, so under a sharded
-    mesh it would force replication (wrap in shard_map before enabling)."""
+    """Fused inference path — OPT-IN (DSP_FUSED=1).
+
+    Measured on v5e (BENCH_NOTES round 2): the Pallas chain runs its convs at
+    122–147 TF/s, but XLA's in-graph conv emitter fuses GN statistics into
+    conv epilogues natively and averages ~the same effective rate with less
+    glue, so the fused path LOSES end-to-end at every batch size and fusion
+    scope tried (b32: 26.2–28.5 vs 31.7 steps/s; b8: 82–86 vs 92.5). Kept as
+    tested infrastructure: it wins when XLA's emitter does badly (isolated
+    small-channel chains), and is the scaffold for future custom epilogues."""
     import os
 
-    flag = os.environ.get("DSP_FUSED")
-    if flag is not None:
-        return flag != "0"
-    return (jax.default_backend() in ("tpu", "axon")
-            and jax.device_count() == 1)
+    return os.environ.get("DSP_FUSED") == "1"
 
 
 def apply_unet(net, variables, x, time=None, *, train: bool = False,
