@@ -386,6 +386,30 @@ class DiffusionModel:
         load_path = self.opt["path"].get("resume_state") if self.opt.get("path") else None
         if not load_path:
             return
+        # reference torch checkpoints (model.py:153-173 contract) import
+        # directly when no orbax artifact exists at the prefix
+        import os as _os
+
+        torch_path = None
+        if load_path.endswith(".pth") and _os.path.isfile(load_path):
+            torch_path = load_path
+        elif _os.path.isfile(f"{load_path}_gen.pth") and not _os.path.isdir(
+            f"{load_path}_gen"
+        ):
+            torch_path = f"{load_path}_gen.pth"
+        if torch_path is not None and "net" in self.nets:
+            from diffsplitting_tpu.utils.torch_import import (
+                load_reference_checkpoint,
+            )
+
+            logger.info("Importing reference torch checkpoint [%s] ...", torch_path)
+            variables = load_reference_checkpoint(torch_path, self.nets["net"])
+            params = dict(self.params)
+            params["net"] = variables["params"]
+            self.params = replicate(params, self.mesh)
+            if self.use_ema:
+                self.ema_params = self.params
+            return
         logger.info("Loading pretrained model for G [%s] ...", load_path)
         want_opt = self.phase == "train"
         params, opt_state, epoch, step, ema = load_checkpoint(

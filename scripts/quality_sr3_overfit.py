@@ -79,7 +79,8 @@ def main():
             n_src += 1
     print(f"{n_src} source face images", flush=True)
     data_root = f"{args.workdir}/data_16_128"
-    prepare(src, data_root, n_worker=4, sizes=(16, 128))
+    # n_worker=1: forked pool workers inherit the live TPU client and crash
+    prepare(src, data_root, n_worker=1, sizes=(16, 128))
     ds = LRHRDataset(data_root, "img", l_resolution=16, r_resolution=128,
                      split="val", need_LR=False)  # val split: deterministic
     batch_np = {

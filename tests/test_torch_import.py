@@ -63,6 +63,55 @@ def test_reference_checkpoint_roundtrip(flavor, tmp_path):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
 
+def test_trainer_resumes_from_torch_pth(tmp_path):
+    """DiffusionModel.load_network imports a reference *_gen.pth when the
+    resume prefix has no orbax artifact — reference checkpoints drive every
+    CLI unchanged."""
+    from diffsplitting_tpu.config import dict_to_nonedict
+    from diffsplitting_tpu.train import DiffusionModel
+
+    kw = dict(in_channel=2, out_channel=1, inner_channel=8, norm_groups=4,
+              channel_mults=(1,), attn_res=(), res_blocks=1, dropout=0,
+              image_size=8)
+    torch.manual_seed(1)
+    ref = _ref_module("sr3")(**kw).eval()
+    prefix = str(tmp_path / "I500_E3")
+    torch.save({k: v.cpu() for k, v in ref.state_dict().items()},
+               prefix + "_gen.pth")
+
+    opt = dict_to_nonedict({
+        "name": "t", "phase": "val",
+        "path": {"checkpoint": str(tmp_path), "resume_state": prefix},
+        "model": {
+            "which_model_G": "sr3", "loss_type": "l1", "finetune_norm": False,
+            "unet": {"in_channel": 2, "out_channel": 1, "inner_channel": 8,
+                     "norm_groups": 4, "channel_multiplier": [1],
+                     "attn_res": [], "res_blocks": 1, "dropout": 0},
+            "beta_schedule": {
+                "train": {"schedule": "linear", "n_timestep": 4,
+                          "linear_start": 1e-6, "linear_end": 1e-2},
+                "val": {"schedule": "linear", "n_timestep": 2,
+                        "linear_start": 1e-6, "linear_end": 1e-2}},
+            "diffusion": {"image_size": 8, "channels": 1, "conditional": True},
+        },
+        "train": {"n_iter": 1, "optimizer": {"type": "adam", "lr": 1e-3}},
+    })
+    model = DiffusionModel(opt)
+    # imported weights == converted reference weights
+    got = model.params["net"]
+    want = torch_state_dict_to_flax(ref.state_dict(),
+                                    model.nets["net"])["params"]
+    for a, b in zip(
+        __import__("jax").tree_util.tree_leaves(got),
+        __import__("jax").tree_util.tree_leaves(want),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the sampler runs on them
+    model.feed_data({"input": np.zeros((1, 8, 8, 1), np.float32)})
+    out = model.test(continuous=False)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_module_prefix_stripped():
     """DataParallel-style 'module.' prefixes are accepted."""
     kw = dict(in_channel=1, out_channel=1, inner_channel=8, norm_groups=4,
