@@ -132,8 +132,8 @@ def main():
 
     # newest checkpoint prefix
     ckpts = []
-    for root, _, files in os.walk(f"{args.workdir}/experiments"):
-        for f in files:
+    for root, dirs, files in os.walk(f"{args.workdir}/experiments"):
+        for f in list(dirs) + list(files):  # orbax ckpts are directories
             if f.endswith("_gen"):
                 ckpts.append(os.path.join(root, f[: -len("_gen")]))
     assert ckpts, "no checkpoint saved"
