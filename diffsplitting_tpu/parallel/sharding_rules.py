@@ -22,7 +22,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def _spec_for(path, leaf, model_size: int) -> P:
-    name = str(path[-1]) if path else ""
+    # path entries are jax KeyEntry objects (DictKey renders as "['kernel']");
+    # use .key for the bare name — str() broke the endswith match and left
+    # kernels replicated (caught by test_tp_inserts_collectives_and_shards_memory)
+    name = getattr(path[-1], "key", str(path[-1])) if path else ""
     shape = leaf.shape
     # conv kernels (kh, kw, in, out): shard out
     if name.endswith("kernel") and leaf.ndim == 4 and shape[-1] % model_size == 0:
