@@ -37,10 +37,10 @@ REF_SETS = [
 ]
 
 
-def build_opt(ckpt_dir):
+def build_opt(ckpt_dir, config):
     from diffsplitting_tpu.config.loader import dict_to_nonedict, load_json
 
-    opt = load_json(os.path.join(REPO, "configs/sr_sr3_16_128.json"))
+    opt = load_json(os.path.join(REPO, config))
     opt["phase"] = "train"
     opt["path"]["checkpoint"] = ckpt_dir
     opt["path"]["resume_state"] = None
@@ -50,10 +50,16 @@ def build_opt(ckpt_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=4000)
-    ap.add_argument("--batch", type=int, default=9)
     ap.add_argument("--workdir", default="/tmp/quality_sr3")
     ap.add_argument("--out", default=os.path.join(REPO, "results/quality_sr3"))
     ap.add_argument("--print_freq", type=int, default=200)
+    ap.add_argument("--config", default="configs/sr_sr3_16_128.json")
+    ap.add_argument("--l_res", type=int, default=16)
+    ap.add_argument("--r_res", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="train/sample batch; 0 = all prepared images")
+    ap.add_argument("--ref_psnr", type=float, default=23.26)
+    ap.add_argument("--ref_ssim", type=float, default=0.675)
     args = ap.parse_args()
 
     import jax
@@ -70,18 +76,23 @@ def main():
     )
 
     # ------------------------------------------------- dataset from shipped imgs
+    from PIL import Image
+
     src = f"{args.workdir}/src"
     os.makedirs(src, exist_ok=True)
     n_src = 0
     for d in REF_SETS:
         for f in sorted(glob.glob(os.path.join(d, "*.png"))):
+            if min(Image.open(f).size) < args.r_res:
+                continue  # never upscale a source below the target res
             shutil.copy(f, os.path.join(src, f"{n_src}.png"))
             n_src += 1
     print(f"{n_src} source face images", flush=True)
-    data_root = f"{args.workdir}/data_16_128"
+    data_root = f"{args.workdir}/data_{args.l_res}_{args.r_res}"
     # n_worker=1: forked pool workers inherit the live TPU client and crash
-    prepare(src, data_root, n_worker=1, sizes=(16, 128))
-    ds = LRHRDataset(data_root, "img", l_resolution=16, r_resolution=128,
+    prepare(src, data_root, n_worker=1, sizes=(args.l_res, args.r_res))
+    ds = LRHRDataset(data_root, "img", l_resolution=args.l_res,
+                     r_resolution=args.r_res,
                      split="val", need_LR=False)  # val split: deterministic
     batch_np = {
         "input": np.stack([ds[i]["SR"] for i in range(len(ds))]).astype(np.float32),
@@ -89,11 +100,19 @@ def main():
     }
 
     # --------------------------------------------------------------- training
-    model = DiffusionModel(build_opt(f"{args.workdir}/ckpt"))
-    model.feed_data(batch_np)
+    model = DiffusionModel(build_opt(f"{args.workdir}/ckpt", args.config))
+    n = batch_np["input"].shape[0]
+    bs = args.batch if args.batch > 0 else n
     losses = []
     t0 = time.perf_counter()
+    rng = np.random.default_rng(0)
     for it in range(1, args.iters + 1):
+        if bs >= n:
+            mb = batch_np
+        else:
+            idx = rng.choice(n, bs, replace=False)
+            mb = {k: v[idx] for k, v in batch_np.items()}
+        model.feed_data(mb)
         model.optimize_parameters()
         if it % args.print_freq == 0 or it == 1:
             log = model.get_current_log()
@@ -102,10 +121,13 @@ def main():
                   f"({(time.perf_counter()-t0):.0f}s)", flush=True)
 
     # --------------------------------------------------------------- sampling
-    print("sampling (2000-step reverse schedule) ...", flush=True)
+    print("sampling (full val reverse schedule) ...", flush=True)
     model.set_new_noise_schedule(model.opt["model"]["beta_schedule"]["val"], "val")
-    model.feed_data({"input": batch_np["input"]})
-    sr = np.asarray(model.test(continuous=False))
+    chunks = []
+    for i0 in range(0, n, bs):
+        model.feed_data({"input": batch_np["input"][i0 : i0 + bs]})
+        chunks.append(np.asarray(model.test(continuous=False)))
+    sr = np.concatenate(chunks, axis=0)
 
     os.makedirs(args.out, exist_ok=True)
     psnrs, ssims = [], []
@@ -125,8 +147,9 @@ def main():
         "iters": args.iters,
         "n_images": int(sr.shape[0]),
         "loss_trajectory": losses,
-        "reference_published_16_128": {"psnr": 23.26, "ssim": 0.675,
-                                       "protocol": "held-out CelebaHQ (NOT comparable: ours is overfit-on-9)"},
+        "config": args.config,
+        "reference_published": {"psnr": args.ref_psnr, "ssim": args.ref_ssim,
+                                "protocol": "held-out CelebaHQ/FFHQ (NOT comparable: ours is overfit on the shipped samples)"},
     }
     with open(f"{args.out}/metrics.json", "w") as f:
         json.dump(summary, f, indent=1)
