@@ -77,6 +77,12 @@ def build():
     params = init_on_host(
         net.init, jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 6)), gamma[:1]
     )
+    if BENCH_DTYPE == "bf16" and os.environ.get("DSP_PRECAST", "1") == "1":
+        # hoist the per-step f32→bf16 weight convert out of the sampling scan
+        # (bit-identical: flax would do the same rounding inside the loop)
+        from diffsplitting_tpu.models import cast_unet_params_for_inference
+
+        params = cast_unet_params_for_inference(params)
     params = jax.device_put(params, jax.devices()[0])
 
     def sample(params, cond, rng):

@@ -1,5 +1,6 @@
 from .unet import UNet
 from .fused_forward import apply_unet, fused_unet_apply, fused_enabled
+from .precision import cast_unet_params_for_inference
 from .time_predictor import TimePredictor
 from .blocks import (
     TimeEmbedding,
@@ -18,6 +19,7 @@ __all__ = [
     "apply_unet",
     "fused_unet_apply",
     "fused_enabled",
+    "cast_unet_params_for_inference",
     "TimePredictor",
     "TimeEmbedding",
     "PositionalEncoding",

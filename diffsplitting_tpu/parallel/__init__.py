@@ -7,6 +7,7 @@ from .mesh import (
     plan_batch_placement,
     replicate,
 )
+from .zero import shard_tree_zero, zero_spec, tree_device_bytes
 
 __all__ = [
     "make_mesh",
@@ -16,4 +17,7 @@ __all__ = [
     "host_local_slice",
     "plan_batch_placement",
     "replicate",
+    "shard_tree_zero",
+    "zero_spec",
+    "tree_device_bytes",
 ]

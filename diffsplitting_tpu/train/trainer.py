@@ -56,6 +56,13 @@ class DiffusionModel:
 
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
 
+        # ZeRO-1 / FSDP opt-ins (parallel/zero.py): shard Adam moments (and
+        # with 'fsdp', the params themselves) over the 'data' axis instead of
+        # replicating — GSPMD inserts the gather/scatter collectives
+        train_opt = opt.get("train") or {}
+        self.zero_opt_state = bool((train_opt.get("optimizer") or {}).get("zero"))
+        self.fsdp_params = (opt["model"].get("param_sharding") == "fsdp")
+
         # ---------------- params init
         model_opt = opt["model"]
         in_ch = model_opt["unet"]["in_channel"]
@@ -71,7 +78,7 @@ class DiffusionModel:
             from diffsplitting_tpu.diffusion import JointInDIProcess
 
             params["extra"] = JointInDIProcess.init_extra_params()
-        self.params = replicate(params, self.mesh)
+        self.params = self._place_params(params)
 
         # ---------------- optimizer
         self.phase = opt.get("phase", "train")
@@ -105,7 +112,7 @@ class DiffusionModel:
         self.tx = tx
         # jit the optimizer-state init: eagerly it dispatches one zeros_like
         # per param leaf, which is pathological through a remote-TPU tunnel
-        self.opt_state = replicate(jax.jit(self.tx.init)(self.params), self.mesh)
+        self.opt_state = self._place_opt_state(jax.jit(self.tx.init)(self.params))
 
         # ---------------- EMA (opt-in; the reference declares an
         # ema_scheduler config block but never reads it — enable with
@@ -134,6 +141,21 @@ class DiffusionModel:
         if self.use_ema and self.ema_params is None:
             # seeded from the (possibly restored) params, AFTER load_network
             self.ema_params = jax.tree_util.tree_map(jnp.array, self.params)
+
+    # ------------------------------------------------------------- placement
+    def _place_params(self, tree):
+        if self.fsdp_params:
+            from diffsplitting_tpu.parallel.zero import shard_tree_zero
+
+            return shard_tree_zero(tree, self.mesh)
+        return replicate(tree, self.mesh)
+
+    def _place_opt_state(self, tree):
+        if self.zero_opt_state or self.fsdp_params:
+            from diffsplitting_tpu.parallel.zero import shard_tree_zero
+
+            return shard_tree_zero(tree, self.mesh)
+        return replicate(tree, self.mesh)
 
     # ------------------------------------------------------------- rng
     def _next_rng(self):
@@ -200,18 +222,41 @@ class DiffusionModel:
 
         use_ema, decay, start = self.use_ema, self.ema_decay, self.ema_start
 
+        # ZeRO-1/FSDP: pin output shardings so GSPMD can't drift placements
+        # across steps (e.g. silently re-shard replicated params, or gather
+        # sharded Adam moments back to replicated)
+        mesh, zero, fsdp = self.mesh, self.zero_opt_state, self.fsdp_params
+
+        def _constrain(tree, sharded):
+            if mesh is None or not (zero or fsdp):
+                return tree
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from diffsplitting_tpu.parallel.zero import zero_spec
+
+            n = mesh.shape["data"]
+
+            def c(x):
+                spec = zero_spec(x.shape, n) if sharded else P()
+                return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+            return jax.tree_util.tree_map(c, tree)
+
         def step(params, opt_state, ema, step_no, rng, batch, sched):
             (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, rng, batch, sched
             )
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            params = _constrain(params, sharded=fsdp)
+            opt_state = _constrain(opt_state, sharded=True)
             if use_ema:
                 # before step_start_ema: track params exactly; after: decay
                 d = jnp.where(step_no < start, 0.0, decay)
                 ema = jax.tree_util.tree_map(
                     lambda e, p: d * e + (1.0 - d) * p, ema, params
                 )
+                ema = _constrain(ema, sharded=fsdp)
             return params, opt_state, ema, loss, logs
 
         static = (6,) if which in ("indi", "joint_indi") else ()
@@ -241,6 +286,17 @@ class DiffusionModel:
             self.log_dict[k] = v
 
     # ------------------------------------------------------------- inference
+    def _inference_params(self, params):
+        """Pre-cast Conv/Dense weights to the nets' bf16 compute dtype so the
+        f32→bf16 convert happens once per test() call instead of once per
+        reverse step inside the sampling scan (bit-identical — flax would do
+        the same rounding per step; see models/precision.py)."""
+        if any(getattr(n, "dtype", None) == jnp.bfloat16 for n in self.nets.values()):
+            from diffsplitting_tpu.models import cast_unet_params_for_inference
+
+            return cast_unet_params_for_inference(params)
+        return params
+
     def _infer_fn(self, kind, shape, continuous, extra=None, clip_denoised=True):
         """jitted sampler, cached per (kind, shape, schedule, continuous, clip)."""
         T_key = self.current_T if self.which in ("indi", "joint_indi") else (
@@ -309,7 +365,7 @@ class DiffusionModel:
             clip_denoised=clip_denoised,
         )
         params = self.ema_params if (use_ema and self.ema_params is not None) else self.params
-        self.prediction = fn(params, x_in, self._next_rng())
+        self.prediction = fn(self._inference_params(params), x_in, self._next_rng())
         return self.prediction
 
     def inference(self, x_in, continuous=False, num_timesteps=None, t_float_start=None):
@@ -337,7 +393,9 @@ class DiffusionModel:
             self._infer_cache[key] = jax.jit(fn)
         x1 = shard_batch(x1, self.mesh)
         x2 = shard_batch(x2, self.mesh)
-        self.prediction = self._infer_cache[key](self.params, x1, x2, self._next_rng())
+        self.prediction = self._infer_cache[key](
+            self._inference_params(self.params), x1, x2, self._next_rng()
+        )
         return self.prediction
 
     def sample(self, batch_size=1, continuous=False, **_legacy):
@@ -347,7 +405,7 @@ class DiffusionModel:
         ch = self.opt["model"]["diffusion"]["channels"]
         shape = (batch_size, size, size, ch)
         fn = self._infer_fn("sample", shape, continuous)
-        self.prediction = fn(self.params, None, self._next_rng())
+        self.prediction = fn(self._inference_params(self.params), None, self._next_rng())
         return self.prediction
 
     # ------------------------------------------------------------- logging
@@ -406,7 +464,7 @@ class DiffusionModel:
             variables = load_reference_checkpoint(torch_path, self.nets["net"])
             params = dict(self.params)
             params["net"] = variables["params"]
-            self.params = replicate(params, self.mesh)
+            self.params = self._place_params(params)
             if self.use_ema:
                 self.ema_params = self.params
             return
@@ -416,11 +474,11 @@ class DiffusionModel:
             load_path, self.params, self.opt_state if want_opt else None,
             with_ema=self.use_ema,
         )
-        self.params = replicate(params, self.mesh)
+        self.params = self._place_params(params)
         if ema is not None:
-            self.ema_params = replicate(ema, self.mesh)
+            self.ema_params = self._place_params(ema)
         if want_opt and opt_state is not None:
-            self.opt_state = replicate(opt_state, self.mesh)
+            self.opt_state = self._place_opt_state(opt_state)
             self.begin_epoch = epoch
             self.begin_step = step
             self.global_step = step  # EMA warmup schedule resumes correctly

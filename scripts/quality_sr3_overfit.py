@@ -37,13 +37,19 @@ REF_SETS = [
 ]
 
 
-def build_opt(ckpt_dir, config):
+def build_opt(ckpt_dir, config, lr=None, remat=False, bf16=False):
     from diffsplitting_tpu.config.loader import dict_to_nonedict, load_json
 
     opt = load_json(os.path.join(REPO, config))
     opt["phase"] = "train"
     opt["path"]["checkpoint"] = ckpt_dir
     opt["path"]["resume_state"] = None
+    if lr:
+        opt["train"]["optimizer"]["lr"] = lr
+    if remat:
+        opt["model"]["remat"] = True
+    if bf16:
+        opt["model"]["compute_dtype"] = "bfloat16"
     return dict_to_nonedict(opt)
 
 
@@ -60,6 +66,13 @@ def main():
                     help="train/sample batch; 0 = all prepared images")
     ap.add_argument("--ref_psnr", type=float, default=23.26)
     ap.add_argument("--ref_ssim", type=float, default=0.675)
+    ap.add_argument("--lr", type=float, default=0.0,
+                    help="override config lr (the 64→512 config ships 3e-6, "
+                         "tuned for 1M-iter training, not a bounded run)")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block rematerialization (needed at 512² to fit HBM)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute dtype (model.compute_dtype)")
     args = ap.parse_args()
 
     import jax
@@ -100,7 +113,8 @@ def main():
     }
 
     # --------------------------------------------------------------- training
-    model = DiffusionModel(build_opt(f"{args.workdir}/ckpt", args.config))
+    model = DiffusionModel(build_opt(f"{args.workdir}/ckpt", args.config,
+                                     lr=args.lr, remat=args.remat, bf16=args.bf16))
     n = batch_np["input"].shape[0]
     bs = args.batch if args.batch > 0 else n
     losses = []
