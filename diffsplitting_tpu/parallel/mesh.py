@@ -108,6 +108,13 @@ def shard_batch(batch, mesh: Optional[Mesh], axis: str = "data"):
     procs = jax.process_count()
 
     def put(x):
+        if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
+            # already on device: pass through untouched. Forcing it back
+            # through np.asarray would round-trip device→host→device — and
+            # through the axon TPU tunnel every host→device transfer leaks
+            # its payload in host RAM (measured: ~payload+2.5KB per put, OOM
+            # on long runs). jit auto-reshards if the placement differs.
+            return x
         x = np.asarray(x)
         dim0 = x.shape[0] if x.ndim >= 1 else None
         if plan_batch_placement(dim0, n, procs) == "shard":

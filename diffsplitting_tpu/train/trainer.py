@@ -182,8 +182,21 @@ class DiffusionModel:
 
     # ------------------------------------------------------------- data
     def feed_data(self, data):
-        """Host batch (numpy, NHWC) -> device, batch-sharded over the mesh."""
+        """Host batch (numpy, NHWC) -> device, batch-sharded over the mesh.
+
+        Re-feeding the IDENTICAL array objects (e.g. a fixed overfit batch
+        every iteration) skips the device transfer: through the axon TPU
+        tunnel every host→device put leaks its payload in host RAM (measured
+        ~3.5MB/iter on the 40k-iter quality run → host OOM at 130GB). The
+        previous host arrays are retained while cached so ids can't be
+        recycled by the allocator.
+        """
+        key = jax.tree_util.tree_map(id, data)
+        if getattr(self, "_fed_ids", None) == key and self.data is not None:
+            return
         self.data = shard_batch(data, self.mesh)
+        self._fed_ids = key
+        self._fed_host_ref = data  # pin: id() stays unique while cached
 
     # ------------------------------------------------------------- training
     def _apply(self, role, params, x, t, train=False, rng=None):

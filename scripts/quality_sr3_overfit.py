@@ -120,12 +120,27 @@ def main():
     losses = []
     t0 = time.perf_counter()
     rng = np.random.default_rng(0)
+
+    # Host->device transfers through the axon tunnel leak their payload in
+    # host RAM (see trainer.feed_data docstring; a 40k-iter run OOM-killed the
+    # host at 130GB). Full-batch overfit: feed the SAME dict every iter
+    # (identity-cached, one transfer total). Minibatch: put the whole set on
+    # device once and gather rows on device — per-iter traffic is one (bs,)
+    # int32 index array.
+    import jax
+    import jax.numpy as jnp
+
+    if bs < n:
+        full_dev = jax.device_put(batch_np, jax.devices()[0])
+        take = jax.jit(
+            lambda d, i: jax.tree_util.tree_map(lambda a: jnp.take(a, i, axis=0), d)
+        )
     for it in range(1, args.iters + 1):
         if bs >= n:
             mb = batch_np
         else:
             idx = rng.choice(n, bs, replace=False)
-            mb = {k: v[idx] for k, v in batch_np.items()}
+            mb = take(full_dev, jnp.asarray(idx, jnp.int32))
         model.feed_data(mb)
         model.optimize_parameters()
         if it % args.print_freq == 0 or it == 1:

@@ -135,3 +135,27 @@ def test_gradient_psum_inserted():
     g_ref = jax.grad(loss)(np.full((4,), 2.0, np.float32),
                            np.arange(32, dtype=np.float32).reshape(8, 4))
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5)
+
+
+def test_shard_batch_passes_through_device_arrays():
+    """jax.Arrays already on device are NOT round-tripped through the host
+    (through the axon tunnel every host->device put leaks its payload in
+    host RAM — trainer.feed_data docstring)."""
+    mesh = make_mesh()
+    dev = shard_batch({"x": np.ones((8, 4), np.float32)}, mesh)["x"]
+    again = shard_batch({"x": dev}, mesh)["x"]
+    assert again is dev
+
+
+def test_feed_data_identity_cache(tmp_path):
+    from diffsplitting_tpu.train import DiffusionModel
+    from tests.test_trainer import synth_batch, tiny_opt
+
+    m = DiffusionModel(tiny_opt("indi", tmp_path, in_ch=2, out_ch=2))
+    batch = synth_batch()
+    m.feed_data(batch)
+    first = m.data
+    m.feed_data(batch)           # same array objects -> no new transfer
+    assert m.data is first
+    m.feed_data(synth_batch(seed=1))  # new arrays -> re-fed
+    assert m.data is not first
