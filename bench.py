@@ -77,9 +77,11 @@ def build():
     params = init_on_host(
         net.init, jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 6)), gamma[:1]
     )
-    if BENCH_DTYPE == "bf16" and os.environ.get("DSP_PRECAST", "1") == "1":
-        # hoist the per-step f32→bf16 weight convert out of the sampling scan
-        # (bit-identical: flax would do the same rounding inside the loop)
+    if BENCH_DTYPE == "bf16" and os.environ.get("DSP_PRECAST") == "1":
+        # MEASURED NEGATIVE on v5e (BENCH_NOTES round 2): pre-casting weights
+        # to bf16 outside the scan loses 1% (b32) to 8% (b8) — XLA already
+        # hoists the loop-invariant converts, and bf16 loop-carried weights
+        # get worse layouts. Kept opt-in for other hardware/XLA versions.
         from diffsplitting_tpu.models import cast_unet_params_for_inference
 
         params = cast_unet_params_for_inference(params)

@@ -300,11 +300,16 @@ class DiffusionModel:
 
     # ------------------------------------------------------------- inference
     def _inference_params(self, params):
-        """Pre-cast Conv/Dense weights to the nets' bf16 compute dtype so the
-        f32→bf16 convert happens once per test() call instead of once per
-        reverse step inside the sampling scan (bit-identical — flax would do
-        the same rounding per step; see models/precision.py)."""
-        if any(getattr(n, "dtype", None) == jnp.bfloat16 for n in self.nets.values()):
+        """Opt-in (DSP_PRECAST=1): pre-cast Conv/Dense weights to the nets'
+        bf16 compute dtype outside the sampling scan (bit-identical — flax
+        does the same rounding per step; models/precision.py). MEASURED
+        NEGATIVE on v5e (BENCH_NOTES round 2: XLA already hoists the converts
+        and bf16 loop-carried weights lose 1–8%), so default OFF."""
+        import os
+
+        if os.environ.get("DSP_PRECAST") == "1" and any(
+            getattr(n, "dtype", None) == jnp.bfloat16 for n in self.nets.values()
+        ):
             from diffsplitting_tpu.models import cast_unet_params_for_inference
 
             return cast_unet_params_for_inference(params)
