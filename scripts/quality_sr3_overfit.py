@@ -37,7 +37,7 @@ REF_SETS = [
 ]
 
 
-def build_opt(ckpt_dir, config, lr=None, remat=False, bf16=False):
+def build_opt(ckpt_dir, config, lr=None, remat=False, bf16=False, ema=0.0):
     from diffsplitting_tpu.config.loader import dict_to_nonedict, load_json
 
     opt = load_json(os.path.join(REPO, config))
@@ -50,6 +50,10 @@ def build_opt(ckpt_dir, config, lr=None, remat=False, bf16=False):
         opt["model"]["remat"] = True
     if bf16:
         opt["model"]["compute_dtype"] = "bfloat16"
+    if ema:
+        opt.setdefault("train", {})["ema_scheduler"] = {
+            "enabled": True, "step_start_ema": 1000, "ema_decay": ema,
+        }
     return dict_to_nonedict(opt)
 
 
@@ -73,6 +77,10 @@ def main():
                     help="per-block rematerialization (needed at 512² to fit HBM)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute dtype (model.compute_dtype)")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="track an EMA of the params at this decay and sample "
+                         "from it (long overfits without EMA degrade: the "
+                         "40k-iter no-EMA run sampled 15.3dB vs 19.2dB at 4k)")
     args = ap.parse_args()
 
     import jax
@@ -114,7 +122,8 @@ def main():
 
     # --------------------------------------------------------------- training
     model = DiffusionModel(build_opt(f"{args.workdir}/ckpt", args.config,
-                                     lr=args.lr, remat=args.remat, bf16=args.bf16))
+                                     lr=args.lr, remat=args.remat,
+                                     bf16=args.bf16, ema=args.ema))
     n = batch_np["input"].shape[0]
     bs = args.batch if args.batch > 0 else n
     losses = []
@@ -155,7 +164,8 @@ def main():
     chunks = []
     for i0 in range(0, n, bs):
         model.feed_data({"input": batch_np["input"][i0 : i0 + bs]})
-        chunks.append(np.asarray(model.test(continuous=False)))
+        chunks.append(np.asarray(model.test(continuous=False,
+                                            use_ema=args.ema > 0)))
     sr = np.concatenate(chunks, axis=0)
 
     os.makedirs(args.out, exist_ok=True)
