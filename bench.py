@@ -87,6 +87,28 @@ def build():
         params = cast_unet_params_for_inference(params)
     params = jax.device_put(params, jax.devices()[0])
 
+    # DSP_DEEPCACHE="k[,d]": deep-feature-cached sampling (full refresh every
+    # k steps, split at encoder stage d). Approximate serving mode — measured
+    # speed + fidelity in BENCH_NOTES; NOT the default headline path.
+    dc = os.environ.get("DSP_DEEPCACHE")
+    if dc:
+        parts = [int(p) for p in dc.split(",")]
+        interval, depth = parts[0], (parts[1] if len(parts) > 1 else 2)
+        from diffsplitting_tpu.diffusion.deepcache import (
+            cached_p_sample_loop,
+            make_cached_denoisers,
+        )
+
+        def sample_dc(params, cond, rng):
+            full, shallow, cnet = make_cached_denoisers(net, params, depth)
+            return cached_p_sample_loop(
+                process, sched, rng, cond, full, shallow,
+                cnet.deep_shape(BATCH), interval=interval,
+                deep_dtype=jnp.bfloat16,
+            )
+
+        return jax.jit(sample_dc), params, x
+
     def sample(params, cond, rng):
         from diffsplitting_tpu.models import apply_unet
 
@@ -136,10 +158,12 @@ def main():
     fps = flops_per_step()
     mfu = (fps * steps_per_sec) / detect_peak_flops() if fps else 0.0
 
+    dc = os.environ.get("DSP_DEEPCACHE")
+    dc_tag = f"_deepcache{dc.replace(',', 'x')}" if dc else ""
     print(
         json.dumps(
             {
-                "metric": f"reverse_diffusion_steps_per_sec_chip_{IMG}px_sr3unet_b{BATCH}",
+                "metric": f"reverse_diffusion_steps_per_sec_chip_{IMG}px_sr3unet_b{BATCH}{dc_tag}",
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s/chip",
                 "vs_baseline": round(mfu / 0.40, 4) if mfu else None,

@@ -57,6 +57,37 @@ def build_opt(ckpt_dir, config, lr=None, remat=False, bf16=False, ema=0.0):
     return dict_to_nonedict(opt)
 
 
+def prepare_face_batch(workdir, l_res, r_res):
+    """LR/HR/SR triplets regenerated from the reference's shipped face images
+    with our prepare_data; returns {'input','target'} float32 arrays."""
+    import glob as _glob
+
+    from PIL import Image
+
+    from diffsplitting_tpu.data.lrhr_dataset import LRHRDataset
+    from diffsplitting_tpu.data.prepare_data import prepare
+
+    src = f"{workdir}/src"
+    os.makedirs(src, exist_ok=True)
+    n_src = 0
+    for d in REF_SETS:
+        for f in sorted(_glob.glob(os.path.join(d, "*.png"))):
+            if min(Image.open(f).size) < r_res:
+                continue  # never upscale a source below the target res
+            shutil.copy(f, os.path.join(src, f"{n_src}.png"))
+            n_src += 1
+    print(f"{n_src} source face images", flush=True)
+    data_root = f"{workdir}/data_{l_res}_{r_res}"
+    # n_worker=1: forked pool workers inherit the live TPU client and crash
+    prepare(src, data_root, n_worker=1, sizes=(l_res, r_res))
+    ds = LRHRDataset(data_root, "img", l_resolution=l_res, r_resolution=r_res,
+                     split="val", need_LR=False)  # val split: deterministic
+    return {
+        "input": np.stack([ds[i]["SR"] for i in range(len(ds))]).astype(np.float32),
+        "target": np.stack([ds[i]["HR"] for i in range(len(ds))]).astype(np.float32),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=4000)
@@ -89,36 +120,13 @@ def main():
                       os.path.expanduser("~/.cache/dsp_jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-    from diffsplitting_tpu.data.lrhr_dataset import LRHRDataset
-    from diffsplitting_tpu.data.prepare_data import prepare
     from diffsplitting_tpu.train import DiffusionModel
     from diffsplitting_tpu.utils.metrics import (
         calculate_psnr, calculate_ssim, save_img, tensor2img,
     )
 
     # ------------------------------------------------- dataset from shipped imgs
-    from PIL import Image
-
-    src = f"{args.workdir}/src"
-    os.makedirs(src, exist_ok=True)
-    n_src = 0
-    for d in REF_SETS:
-        for f in sorted(glob.glob(os.path.join(d, "*.png"))):
-            if min(Image.open(f).size) < args.r_res:
-                continue  # never upscale a source below the target res
-            shutil.copy(f, os.path.join(src, f"{n_src}.png"))
-            n_src += 1
-    print(f"{n_src} source face images", flush=True)
-    data_root = f"{args.workdir}/data_{args.l_res}_{args.r_res}"
-    # n_worker=1: forked pool workers inherit the live TPU client and crash
-    prepare(src, data_root, n_worker=1, sizes=(args.l_res, args.r_res))
-    ds = LRHRDataset(data_root, "img", l_resolution=args.l_res,
-                     r_resolution=args.r_res,
-                     split="val", need_LR=False)  # val split: deterministic
-    batch_np = {
-        "input": np.stack([ds[i]["SR"] for i in range(len(ds))]).astype(np.float32),
-        "target": np.stack([ds[i]["HR"] for i in range(len(ds))]).astype(np.float32),
-    }
+    batch_np = prepare_face_batch(args.workdir, args.l_res, args.r_res)
 
     # --------------------------------------------------------------- training
     model = DiffusionModel(build_opt(f"{args.workdir}/ckpt", args.config,
