@@ -54,17 +54,23 @@ def main():
 
     batch_np = prepare_face_batch(args.workdir, 16, 128)
 
-    model = DiffusionModel(
-        build_opt(f"{args.workdir}/ckpt", "configs/sr_sr3_16_128.json",
-                  ema=args.ema)
-    )
-    t0 = time.perf_counter()
-    for it in range(1, args.iters + 1):
-        model.feed_data(batch_np)  # identity-cached: one transfer total
-        model.optimize_parameters()
-        if it % 500 == 0 or it == 1:
-            print(f"iter {it}: l_pix={float(model.get_current_log()['l_pix']):.1f} "
-                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    opt = build_opt(f"{args.workdir}/ckpt", "configs/sr_sr3_16_128.json",
+                    ema=args.ema)
+    ckpt_prefix = os.path.join(f"{args.workdir}/ckpt", f"I{args.iters}_E0")
+    if os.path.isdir(f"{ckpt_prefix}_gen"):
+        print("resuming trained model from", ckpt_prefix, flush=True)
+        opt["path"]["resume_state"] = ckpt_prefix
+        model = DiffusionModel(opt)
+    else:
+        model = DiffusionModel(opt)
+        t0 = time.perf_counter()
+        for it in range(1, args.iters + 1):
+            model.feed_data(batch_np)  # identity-cached: one transfer total
+            model.optimize_parameters()
+            if it % 500 == 0 or it == 1:
+                print(f"iter {it}: l_pix={float(model.get_current_log()['l_pix']):.1f} "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        model.save_network(epoch=0, iter_step=args.iters)
 
     # ------------------------------------------------------------- sampling
     import jax.numpy as jnp
@@ -78,15 +84,20 @@ def main():
     b = cond.shape[0]
     rng = jax.random.PRNGKey(1234)
 
-    denoise = lambda xx, tt: net.apply(params, xx, tt)  # noqa: E731
-    full_fn = jax.jit(
-        lambda r, c: process.p_sample_loop(denoise, sched, r, c, continuous=False)
-    )
+    # params MUST be jit arguments, not closure constants: captured constants
+    # are inlined into the compile payload, and a 370MB-weights program blows
+    # the axon tunnel's remote_compile HTTP body limit (observed 413)
+    def _full(p, r, c):
+        return process.p_sample_loop(
+            lambda xx, tt: net.apply(p, xx, tt), sched, r, c, continuous=False
+        )
+
+    full_fn = jax.jit(_full)
     t0 = time.perf_counter()
-    sr_full = np.asarray(full_fn(rng, cond))
+    sr_full = np.asarray(full_fn(params, rng, cond))
     full_compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    sr_full = np.asarray(full_fn(rng, cond))
+    sr_full = np.asarray(full_fn(params, rng, cond))
     full_s = time.perf_counter() - t0
     print(f"full chain: {full_s:.1f}s (compile {full_compile_s:.0f}s)", flush=True)
 
@@ -104,23 +115,29 @@ def main():
     for spec in args.variants.split(","):
         interval, depth = (int(v) for v in spec.split(":"))
         if depth not in jitted_by_depth:
-            full_a, shallow_a, cnet = make_cached_denoisers(net, params, depth)
-            # refresh flags are a traced scan input: ONE compile per depth,
-            # intervals swept for free
-            jitted_by_depth[depth] = jax.jit(
-                lambda r, c, rf, _f=full_a, _s=shallow_a, _c=cnet:
-                cached_p_sample_loop(
-                    process, sched, r, c, _f, _s, _c.deep_shape(b),
+            from diffsplitting_tpu.models.deepcache import CachedUNet
+
+            cnet = CachedUNet.from_unet(net, depth)
+
+            # params as jit args (see _full above); refresh flags are a traced
+            # scan input: ONE compile per depth, intervals swept for free
+            def _cached(p, r, c, rf, _c=cnet):
+                return cached_p_sample_loop(
+                    process, sched, r, c,
+                    lambda xin, lvl: _c.apply(p, xin, lvl),
+                    lambda xin, lvl, deep: _c.apply(p, xin, lvl, deep),
+                    _c.deep_shape(b),
                     interval=1, deep_dtype=jnp.bfloat16, refresh_override=rf,
                 )
-            )
+
+            jitted_by_depth[depth] = jax.jit(_cached)
         f = jitted_by_depth[depth]
         rf = np.zeros(T, np.int32)
         rf[::interval] = 1
         rf = jnp.asarray(rf)
-        out = np.asarray(f(rng, cond, rf))  # compile (first per depth) + run
+        out = np.asarray(f(params, rng, cond, rf))  # compile (1st per depth) + run
         t0 = time.perf_counter()
-        out = np.asarray(f(rng, cond, rf))
+        out = np.asarray(f(params, rng, cond, rf))
         dt = time.perf_counter() - t0
         img_dc = [tensor2img(out[i]) for i in range(b)]
         res = {

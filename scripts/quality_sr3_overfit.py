@@ -166,8 +166,23 @@ def main():
             print(f"iter {it}: l_pix={losses[-1][1]:.5f} "
                   f"({(time.perf_counter()-t0):.0f}s)", flush=True)
 
+    # checkpoint BEFORE sampling: a sampler-compile crash must not lose the
+    # training (the first 64->512 attempt died in the 512d sampler compile —
+    # TPU worker kernel fault — with no checkpoint on disk)
+    model.save_network(epoch=0, iter_step=args.iters)
+
     # --------------------------------------------------------------- sampling
     print("sampling (full val reverse schedule) ...", flush=True)
+    if model.opt["model"].get("remat"):
+        # remat only pays during training (backward); at inference it bloats
+        # the 2000-step scan program. Rebuild remat-free from the checkpoint.
+        opt2 = build_opt(f"{args.workdir}/ckpt", args.config, lr=args.lr,
+                         remat=False, bf16=args.bf16, ema=args.ema)
+        opt2["model"]["remat"] = False
+        opt2["path"]["resume_state"] = os.path.join(
+            f"{args.workdir}/ckpt", f"I{args.iters}_E0")
+        model = DiffusionModel(opt2)
+        print("reloaded checkpoint into remat-free model for sampling", flush=True)
     model.set_new_noise_schedule(model.opt["model"]["beta_schedule"]["val"], "val")
     chunks = []
     for i0 in range(0, n, bs):
