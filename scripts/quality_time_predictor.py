@@ -48,6 +48,10 @@ def main():
             "ch1": f"{data}/{split}/{split}_mito.tif",
         }
     opt["train"]["num_epochs"] = args.epochs
+    # the reference's Hagen config uses patch 512 on 2048d frames; our
+    # synthetic frames are 512d, so patch 256 keeps a 4-patch grid per frame
+    # (and the 2-frame val split yields a full batch instead of zero batches)
+    opt["datasets"]["patch_size"] = 256
     cfg = f"{args.workdir}/cfg_tp.json"
     with open(cfg, "w") as f:
         json.dump(opt, f, indent=1)

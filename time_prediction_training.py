@@ -110,7 +110,11 @@ def start_training(opt, max_epochs=None, steps_per_epoch=None):
     in_ch = model_opt["unet"]["in_channel"]
     mesh = make_mesh()
     rng = jax.random.PRNGKey(0)
-    params = net.init(rng, jnp.zeros((1, patch, patch, in_ch)))["params"]
+    # init on host CPU: orthogonal-init QR is pathologically slow on the TPU
+    # backend / tunnel (parallel/mesh.py init_on_host docstring)
+    from diffsplitting_tpu.parallel.mesh import init_on_host
+
+    params = init_on_host(net.init, rng, jnp.zeros((1, patch, patch, in_ch)))["params"]
     params = replicate(params, mesh)
 
     loss_type = model_opt["loss_type"]
@@ -126,7 +130,9 @@ def start_training(opt, max_epochs=None, steps_per_epoch=None):
     base_lr = float(opt["train"]["optimizer"]["lr"])
     lr_state = ReduceLROnPlateau(base_lr, int(opt["train"].get("lr_scheduler_patience") or 15))
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=base_lr)
-    opt_state = replicate(tx.init(params), mesh)
+    # jit the init: eager per-leaf zeros_like dispatch is pathological
+    # through the remote-TPU tunnel (CLAUDE.md gotchas)
+    opt_state = replicate(jax.jit(tx.init)(params), mesh)
 
     @jax.jit
     def train_step(params, opt_state, x, y, drop_rng):
@@ -171,7 +177,18 @@ def start_training(opt, max_epochs=None, steps_per_epoch=None):
             val_losses.append(
                 float(eval_step(params, shard_batch(x, mesh), shard_batch(y, mesh)))
             )
-        val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
+        if val_losses:
+            val_loss = float(np.mean(val_losses))
+        else:
+            # val loader produced no batches (val set smaller than the batch
+            # size with drop_last): fall back to the train epoch loss so a
+            # best checkpoint is still written. The reference would silently
+            # never checkpoint in this case (best_val stays 1e6).
+            logging.getLogger("base").warning(
+                "validation loader is empty (val set < batch size); using "
+                "train loss for best-model selection"
+            )
+            val_loss = float(np.mean(loss_arr))
         logging.getLogger("base").info(
             "Ep:%d loss %.5f val_loss %.5f lr %.2e",
             epoch, float(np.mean(loss_arr)), val_loss, lr_state.lr,
