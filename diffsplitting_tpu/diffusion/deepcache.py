@@ -48,10 +48,10 @@ def cached_p_sample_loop(
     x_in,
     apply_full,
     apply_shallow,
-    deep_shape,
-    interval: int,
+    deep_shape=None,  # unused (kept for call-site compat); derived by eval_shape
+    interval: int = 1,
     clip_denoised: bool = True,
-    deep_dtype=None,
+    deep_dtype=None,  # unused (kept for call-site compat)
     refresh_override=None,
 ):
     """Conditional reverse chain with a deep-feature cache in the scan carry.
@@ -82,7 +82,15 @@ def cached_p_sample_loop(
         refresh[::interval] = 1  # loop iteration 0 always refreshes
         refresh = jnp.asarray(refresh)
 
-    deep0 = jnp.zeros(deep_shape, dtype=deep_dtype or cond.dtype)
+    # derive the cache's exact shape AND dtype from the full forward itself
+    # (the net's compute dtype decides it — hard-coding bf16 broke f32 nets:
+    # scan carries must be type-stable)
+    net_in_sds = jax.ShapeDtypeStruct(
+        cond.shape[:-1] + (cond.shape[-1] + process.channels,), img.dtype
+    )
+    lvl_sds = jax.ShapeDtypeStruct((b,), img.dtype if is_sr3 else jnp.float32)
+    deep_sds = jax.eval_shape(apply_full, net_in_sds, lvl_sds)[1]
+    deep0 = jnp.zeros(deep_sds.shape, deep_sds.dtype)
 
     def body(carry, inp):
         x, deep = carry
