@@ -70,10 +70,12 @@ def main():
     ckpts = []
     for root, dirs, _ in os.walk(f"{args.workdir}/experiments"):
         for d in dirs:
-            if d == "best_time_predictor":
-                ckpts.append(os.path.join(root, d))
+            # orbax writes `<prefix>_gen`/`<prefix>_opt`; the eval script
+            # takes the bare prefix
+            if d == "best_time_predictor_gen":
+                ckpts.append(os.path.join(root, "best_time_predictor"))
     assert ckpts, "no best checkpoint"
-    ckpt = max(ckpts, key=os.path.getmtime)
+    ckpt = max(ckpts, key=lambda p: os.path.getmtime(f"{p}_gen"))
     print("evaluating", ckpt, flush=True)
     out_json = f"{args.workdir}/metrics.json"
     r = subprocess.run(
