@@ -94,6 +94,11 @@ class UNet(nn.Module):
             if self.remat
             else ResnetBlockWithAttn
         )
+        # explicit names: nn.remat's auto-naming prefixes "Checkpoint", which
+        # would make remat and non-remat checkpoints structurally incompatible
+        # (and break every name-walking forward: fused_forward, deepcache,
+        # torch_import). Pinning the plain name keeps ONE param-tree schema.
+        rb_count = iter(range(10_000))
         rb = lambda dim_out, with_attn: block_cls(
             dim_out,
             cond_type=self.cond_type,
@@ -102,6 +107,7 @@ class UNet(nn.Module):
             dropout=self.dropout,
             with_attn=with_attn,
             dtype=self.dtype,
+            name=f"ResnetBlockWithAttn_{next(rb_count)}",
         )
 
         num_mults = len(self.channel_mults)

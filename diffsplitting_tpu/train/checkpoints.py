@@ -21,6 +21,28 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def _rename_blocks(tree, to_legacy: bool):
+    """Map between the canonical block names (`ResnetBlockWithAttn_*`) and the
+    legacy remat auto-names (`CheckpointResnetBlockWithAttn_*`) at every dict
+    level (model trees are nested under role keys)."""
+    if isinstance(tree, tuple) and hasattr(tree, "_fields"):  # optax NamedTuples
+        return type(tree)(*(_rename_blocks(v, to_legacy) for v in tree))
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_rename_blocks(v, to_legacy) for v in tree)
+    if not isinstance(tree, dict):
+        return tree
+    src, dst = (
+        ("ResnetBlockWithAttn_", "CheckpointResnetBlockWithAttn_")
+        if to_legacy
+        else ("CheckpointResnetBlockWithAttn_", "ResnetBlockWithAttn_")
+    )
+
+    def rename(k: str) -> str:
+        return dst + k[len(src):] if isinstance(k, str) and k.startswith(src) else k
+
+    return {rename(k): _rename_blocks(v, to_legacy) for k, v in tree.items()}
+
+
 def save_checkpoint(ckpt_dir: str, prefix: str, params, opt_state, epoch: int,
                     step: int, ema_params=None):
     """Write `<ckpt_dir>/<prefix>_gen` (params) and `<prefix>_opt` (trainer
@@ -57,7 +79,14 @@ def load_checkpoint(
     ckptr = _checkpointer()
     gen_path = os.path.abspath(f"{prefix_path}_gen")
     abstract_params = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, params_template)
-    params = ckptr.restore(gen_path, abstract_params)
+    try:
+        params = ckptr.restore(gen_path, abstract_params)
+    except Exception:
+        # pre-fix remat checkpoints named blocks "CheckpointResnetBlockWithAttn_*"
+        # (nn.remat auto-prefix); restore through a renamed template and map
+        # the keys back to the canonical schema
+        renamed = _rename_blocks(abstract_params, to_legacy=True)
+        params = _rename_blocks(ckptr.restore(gen_path, renamed), to_legacy=False)
 
     opt_state, epoch, step, ema = None, 0, 0, None
     opt_path = os.path.abspath(f"{prefix_path}_opt")
@@ -71,13 +100,23 @@ def load_checkpoint(
         }
         if with_ema:
             abstract_opt["ema"] = abstract_params
+        def _restore_opt(abstract):
+            try:
+                return ckptr.restore(opt_path, abstract)
+            except Exception:
+                # legacy remat block naming (see gen restore above)
+                legacy = _rename_blocks(abstract, to_legacy=True)
+                return _rename_blocks(
+                    ckptr.restore(opt_path, legacy), to_legacy=False
+                )
+
         try:
-            restored = ckptr.restore(opt_path, abstract_opt)
+            restored = _restore_opt(abstract_opt)
         except Exception:
             if not with_ema:
                 raise
             abstract_opt.pop("ema")  # pre-EMA checkpoint
-            restored = ckptr.restore(opt_path, abstract_opt)
+            restored = _restore_opt(abstract_opt)
         opt_state = restored["optimizer"]
         epoch = int(restored["epoch"])
         step = int(restored["iter"])

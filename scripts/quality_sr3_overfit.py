@@ -129,9 +129,14 @@ def main():
     batch_np = prepare_face_batch(args.workdir, args.l_res, args.r_res)
 
     # --------------------------------------------------------------- training
-    model = DiffusionModel(build_opt(f"{args.workdir}/ckpt", args.config,
-                                     lr=args.lr, remat=args.remat,
-                                     bf16=args.bf16, ema=args.ema))
+    opt0 = build_opt(f"{args.workdir}/ckpt", args.config, lr=args.lr,
+                     remat=args.remat, bf16=args.bf16, ema=args.ema)
+    ckpt_prefix = os.path.join(f"{args.workdir}/ckpt", f"I{args.iters}_E0")
+    resume = os.path.isdir(f"{ckpt_prefix}_gen")
+    if resume:
+        print("resuming trained model from", ckpt_prefix, flush=True)
+        opt0["path"]["resume_state"] = ckpt_prefix
+    model = DiffusionModel(opt0)
     n = batch_np["input"].shape[0]
     bs = args.batch if args.batch > 0 else n
     losses = []
@@ -152,7 +157,7 @@ def main():
         take = jax.jit(
             lambda d, i: jax.tree_util.tree_map(lambda a: jnp.take(a, i, axis=0), d)
         )
-    for it in range(1, args.iters + 1):
+    for it in range(1, (0 if resume else args.iters) + 1):
         if bs >= n:
             mb = batch_np
         else:
@@ -169,7 +174,8 @@ def main():
     # checkpoint BEFORE sampling: a sampler-compile crash must not lose the
     # training (the first 64->512 attempt died in the 512d sampler compile —
     # TPU worker kernel fault — with no checkpoint on disk)
-    model.save_network(epoch=0, iter_step=args.iters)
+    if not resume:
+        model.save_network(epoch=0, iter_step=args.iters)
 
     # --------------------------------------------------------------- sampling
     print("sampling (full val reverse schedule) ...", flush=True)
