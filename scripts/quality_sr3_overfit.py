@@ -108,6 +108,11 @@ def main():
                     help="per-block rematerialization (needed at 512² to fit HBM)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute dtype (model.compute_dtype)")
+    ap.add_argument("--stepwise", action="store_true",
+                    help="sample with a jitted SINGLE reverse step + host "
+                         "loop instead of the scanned chain (the 512d "
+                         "2000-step scan compile crashes this tunnel's TPU "
+                         "worker; the small per-step program compiles fine)")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="track an EMA of the params at this decay and sample "
                          "from it (long overfits without EMA degrade: the "
@@ -191,10 +196,41 @@ def main():
         print("reloaded checkpoint into remat-free model for sampling", flush=True)
     model.set_new_noise_schedule(model.opt["model"]["beta_schedule"]["val"], "val")
     chunks = []
-    for i0 in range(0, n, bs):
-        model.feed_data({"input": batch_np["input"][i0 : i0 + bs]})
-        chunks.append(np.asarray(model.test(continuous=False,
-                                            use_ema=args.ema > 0)))
+    if args.stepwise:
+        import jax
+        import jax.numpy as jnp
+
+        sched, process, net = model.current_sched, model.process, model.nets["net"]
+        role_params = (model.ema_params if (args.ema > 0 and model.ema_params)
+                       else model.params)
+        params = {"params": role_params["net"]}
+
+        @jax.jit
+        def stepf(p, x, cond, key, i):
+            dn = lambda xx, tt: net.apply(p, xx, tt)  # noqa: E731
+            return process.p_sample(dn, sched, key, x, i,
+                                    clip_denoised=True, condition_x=cond)
+
+        T = sched.num_timesteps
+        for i0 in range(0, n, bs):
+            cond = jnp.asarray(batch_np["input"][i0 : i0 + bs])
+            r, init_rng = jax.random.split(jax.random.fold_in(
+                jax.random.PRNGKey(55), i0))
+            x = jax.random.normal(init_rng, cond.shape[:-1] + (process.channels,),
+                                  cond.dtype)
+            keys = np.asarray(jax.random.split(r, T))
+            t0 = time.perf_counter()
+            for j, i in enumerate(range(T - 1, -1, -1)):
+                x = stepf(params, x, cond, jnp.asarray(keys[j]), i)
+            x.block_until_ready()
+            print(f"chunk {i0}: {T} stepwise reverse steps in "
+                  f"{time.perf_counter() - t0:.0f}s", flush=True)
+            chunks.append(np.asarray(x))
+    else:
+        for i0 in range(0, n, bs):
+            model.feed_data({"input": batch_np["input"][i0 : i0 + bs]})
+            chunks.append(np.asarray(model.test(continuous=False,
+                                                use_ema=args.ema > 0)))
     sr = np.concatenate(chunks, axis=0)
 
     os.makedirs(args.out, exist_ok=True)
