@@ -41,6 +41,26 @@ def test_remat_and_plain_share_param_schema():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_name_walking_forwards_accept_remat_nets():
+    """fused_forward and deepcache walk 'ResnetBlockWithAttn_*' names; the
+    pinned naming makes them remat-compatible."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 2))
+    t = jnp.array([0.4])
+    net_r = UNet(**KW, remat=True, dtype=jnp.bfloat16)
+    v = net_r.init(jax.random.PRNGKey(0), x, t)
+    ref = np.asarray(net_r.apply(v, x, t))
+
+    from diffsplitting_tpu.models.deepcache import CachedUNet
+
+    out, _ = CachedUNet.from_unet(net_r, 1).apply(v, x, t)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+    from diffsplitting_tpu.models import fused_unet_apply
+
+    fused = np.asarray(fused_unet_apply(net_r, v, x, t))
+    np.testing.assert_allclose(fused, ref, rtol=0.05, atol=0.05)
+
+
 def test_legacy_remat_checkpoint_migrates(tmp_path):
     x = jnp.zeros((1, 16, 16, 2))
     t = jnp.ones((1,))
