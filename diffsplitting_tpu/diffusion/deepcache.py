@@ -4,9 +4,11 @@ Wraps the SR3/DDPM conditional reverse chain in one `lax.scan` whose carry
 holds, besides x_t, the UNet's deep feature produced by
 `models.deepcache.CachedUNet`. Every `interval`-th step runs the FULL UNet
 and refreshes the cache; the steps in between run only the shallow levels.
-With interval=1 the chain is BIT-IDENTICAL to `process.p_sample_loop`
-(tested) — the rng splitting mirrors it exactly; larger intervals trade
-output fidelity for throughput (measured in BENCH_NOTES).
+With interval=1 the chain reproduces `process.p_sample_loop` exactly — the
+rng splitting mirrors it; equality is bit-level for the clipped SR3/DDPM
+chains (tested) and up to compile-fusion rounding in general (two
+separately-compiled scans need not round identically in low precision).
+Larger intervals trade output fidelity for throughput (BENCH_NOTES).
 
 The reference has no sampler acceleration (per-step python loop,
 /root/reference/model/ddpm_modules/diffusion.py:205-237); this is a
@@ -21,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ddpm import DDPMProcess
+from .indi import InDIProcess
 from .sr3 import SR3Process
 
 
@@ -118,3 +121,100 @@ def cached_p_sample_loop(
 
     (final_img, _), _ = jax.lax.scan(body, (img, deep0), (step_keys, ts, refresh))
     return final_img
+
+
+def _refresh_flags(N: int, interval: int, refresh_override):
+    if refresh_override is not None:
+        return refresh_override
+    refresh = np.zeros(N, np.int32)
+    refresh[::interval] = 1
+    return jnp.asarray(refresh)
+
+
+def cached_indi_inference(
+    process: InDIProcess,
+    rng,
+    x_in,
+    apply_full,
+    apply_shallow,
+    interval: int = 1,
+    num_timesteps=None,
+    t_float_start: float = 1.0,
+    refresh_override=None,
+):
+    """InDI bridge inversion with a deep-feature cache in the scan carry.
+
+    Mirrors `InDIProcess.inference(continuous=False)` (indi.py:152-198) —
+    identical rng discipline, so interval=1 matches the exact chain. The
+    fork's iterative protocol runs N up to 50 reverse steps
+    (EvaluateJointIndiIterative.ipynb), where caching pays; at N=1 there is
+    nothing to cache.
+    """
+    N = int(num_timesteps if num_timesteps is not None else process.num_timesteps)
+    assert not process.conditional
+
+    x_in = jnp.tile(x_in, (1, 1, 1, process.out_channel))
+    rng, init_rng = jax.random.split(rng)
+    x_t = x_in + jax.random.normal(init_rng, x_in.shape, x_in.dtype) * (
+        process.get_t_times_e(jnp.float32(t_float_start))
+    )
+
+    delta = t_float_start / N
+    b = x_in.shape[0]
+    step_keys = jax.random.split(rng, N)
+    cur_ts = t_float_start - delta * jnp.arange(N, dtype=jnp.float32)
+    refresh = _refresh_flags(N, interval, refresh_override)
+
+    deep_sds = jax.eval_shape(
+        apply_full,
+        jax.ShapeDtypeStruct(x_t.shape, x_t.dtype),
+        jax.ShapeDtypeStruct((b,), x_t.dtype),
+    )[1]
+    deep0 = jnp.zeros(deep_sds.shape, deep_sds.dtype)
+
+    def body(carry, inp):
+        x, deep = carry
+        key, t_cur, rf = inp
+        t_vec = jnp.full((b,), t_cur, dtype=x.dtype)
+        x0, deep = jax.lax.cond(
+            rf > 0,
+            lambda op: apply_full(op[0], op[1]),
+            lambda op: apply_shallow(op[0], op[1], op[2]),
+            (x, t_vec, deep),
+        )
+        noise = jax.random.normal(key, x.shape, x.dtype) * process.get_t_times_e(
+            t_cur - delta
+        )
+        x = (delta / t_cur) * x0 + (1 - delta / t_cur) * x + noise
+        return (x, deep), None
+
+    (final_x, _), _ = jax.lax.scan(body, (x_t, deep0), (step_keys, cur_ts, refresh))
+    return final_x
+
+
+def cached_joint_indi_inference(
+    joint_process,
+    rng,
+    x_in,
+    ch1_appliers,
+    ch2_appliers,
+    interval: int = 1,
+    num_timesteps=None,
+    t_float_start: float = 0.5,
+):
+    """JointInDI inference with per-channel deep-feature caches.
+
+    ch*_appliers: (apply_full, apply_shallow) pairs from
+    `make_cached_denoisers` bound to each channel's UNet. Mirrors
+    `JointInDIProcess.inference` (joint_indi.py:112-131) rng splitting.
+    """
+    rng1, rng2 = jax.random.split(rng)
+    ch1 = cached_indi_inference(
+        joint_process.indi1, rng1, x_in, *ch1_appliers, interval=interval,
+        num_timesteps=num_timesteps, t_float_start=t_float_start,
+    )
+    ch2 = cached_indi_inference(
+        joint_process.indi2, rng2, x_in, *ch2_appliers, interval=interval,
+        num_timesteps=num_timesteps, t_float_start=1 - t_float_start,
+    )
+    return jnp.concatenate([ch1, ch2], axis=-1)

@@ -107,3 +107,61 @@ def test_interval3_runs_and_differs_gracefully():
         )
     )(jax.random.PRNGKey(7), cond, jnp.asarray(rf))
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(out))
+
+
+def test_indi_interval1_matches_inference():
+    from diffsplitting_tpu.diffusion import InDIProcess
+    from diffsplitting_tpu.diffusion.deepcache import cached_indi_inference
+
+    net = UNet(in_channel=2, out_channel=2, inner_channel=8, norm_groups=4,
+               channel_mults=(1, 2), attn_res=(), res_blocks=1,
+               image_size=16, cond_type="time")  # f32: equality up to fusion
+    proc = InDIProcess(image_size=16, channels=2, out_channel=2,
+                       conditional=False, num_timesteps=10)
+    x_in = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 1), jnp.float32)
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 2)), jnp.ones((1,)))
+
+    ref = proc.inference(lambda xx, tt: net.apply(v, xx, tt),
+                         jax.random.PRNGKey(5), x_in, num_timesteps=10)
+    full, shallow, _ = make_cached_denoisers(net, v, 1)
+    out = cached_indi_inference(proc, jax.random.PRNGKey(5), x_in, full, shallow,
+                                interval=1, num_timesteps=10)
+    # two separately-compiled scans: identical math up to f32 fusion rounding
+    # (bf16 nets drift visibly through the unclipped GN-amplified chain)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    out3 = jax.jit(
+        lambda r, c: cached_indi_inference(proc, r, c, full, shallow,
+                                           interval=3, num_timesteps=10)
+    )(jax.random.PRNGKey(5), x_in)
+    assert np.isfinite(np.asarray(out3)).all()
+
+
+def test_joint_indi_cached_matches_exact():
+    from diffsplitting_tpu.diffusion import JointInDIProcess
+    from diffsplitting_tpu.diffusion.deepcache import cached_joint_indi_inference
+
+    nets = [
+        UNet(in_channel=2, out_channel=2, inner_channel=8, norm_groups=4,
+             channel_mults=(1, 2), attn_res=(), res_blocks=1,
+             image_size=16, cond_type="time")
+        for _ in range(2)
+    ]
+    proc = JointInDIProcess(image_size=16, channels=1, conditional=False,
+                            num_timesteps=8)
+    x_in = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 1), jnp.float32)
+    vs = [n.init(jax.random.PRNGKey(i), jnp.zeros((1, 16, 16, 2)), jnp.ones((1,)))
+          for i, n in enumerate(nets)]
+
+    ref = proc.inference(
+        lambda xx, tt: nets[0].apply(vs[0], xx, tt),
+        lambda xx, tt: nets[1].apply(vs[1], xx, tt),
+        jax.random.PRNGKey(5), x_in, num_timesteps=8,
+    )
+    a1 = make_cached_denoisers(nets[0], vs[0], 1)[:2]
+    a2 = make_cached_denoisers(nets[1], vs[1], 1)[:2]
+    out = cached_joint_indi_inference(proc, jax.random.PRNGKey(5), x_in, a1, a2,
+                                      interval=1, num_timesteps=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
