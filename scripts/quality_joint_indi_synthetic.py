@@ -137,7 +137,7 @@ def main():
             if f.endswith("_gen"):
                 ckpts.append(os.path.join(root, f[: -len("_gen")]))
     assert ckpts, "no checkpoint saved"
-    ckpt = max(ckpts, key=os.path.getmtime)
+    ckpt = max(ckpts, key=lambda p: os.path.getmtime(f"{p}_gen"))
     print("evaluating", ckpt, flush=True)
 
     out_json = f"{args.workdir}/metrics.json"
