@@ -102,9 +102,7 @@ def build():
         def sample_dc(params, cond, rng):
             full, shallow, cnet = make_cached_denoisers(net, params, depth)
             return cached_p_sample_loop(
-                process, sched, rng, cond, full, shallow,
-                cnet.deep_shape(BATCH), interval=interval,
-                deep_dtype=jnp.bfloat16,
+                process, sched, rng, cond, full, shallow, interval=interval,
             )
 
         return jax.jit(sample_dc), params, x

@@ -51,17 +51,17 @@ def cached_p_sample_loop(
     x_in,
     apply_full,
     apply_shallow,
-    deep_shape=None,  # unused (kept for call-site compat); derived by eval_shape
     interval: int = 1,
     clip_denoised: bool = True,
-    deep_dtype=None,  # unused (kept for call-site compat)
     refresh_override=None,
 ):
     """Conditional reverse chain with a deep-feature cache in the scan carry.
 
     process: SR3Process or DDPMProcess (conditional mode). x_in: condition
-    image (NHWC). deep_shape: CachedUNet.deep_shape(batch). Returns the final
-    image, like p_sample_loop(continuous=False).
+    image (NHWC). The cache's shape AND dtype are derived from the full
+    forward via eval_shape (scan carries must be type-stable; hard-coding a
+    cache dtype broke f32 nets). Returns the final image, like
+    p_sample_loop(continuous=False).
     """
     assert isinstance(process, (SR3Process, DDPMProcess))
     assert process.conditional, "deepcache sampling is for the conditional path"

@@ -33,8 +33,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def zero_spec(shape, axis_size: int, min_shard_elems: int = 2048) -> P:
-    """Shard the largest dim divisible by `axis_size`; replicate small leaves.
+def zero_spec(shape, axis_size: int, min_shard_elems: int = 2048,
+              axis: str = "data") -> P:
+    """Shard the largest dim divisible by `axis_size` over `axis`; replicate
+    small leaves.
 
     Tiny leaves (biases, norm affines, scalars like Adam's `count`) stay
     replicated: sharding them saves nothing and adds layout churn.
@@ -45,13 +47,13 @@ def zero_spec(shape, axis_size: int, min_shard_elems: int = 2048) -> P:
     for d in dims:
         if shape[d] % axis_size == 0 and shape[d] >= axis_size:
             spec = [None] * len(shape)
-            spec[d] = "data"
+            spec[d] = axis
             return P(*spec)
     return P()
 
 
 def shard_tree_zero(tree, mesh: Optional[Mesh], axis: str = "data"):
-    """device_put a pytree with every large leaf sharded over the data axis."""
+    """device_put a pytree with every large leaf sharded over `axis`."""
     if mesh is None:
         return tree
     assert axis in mesh.axis_names, f"mesh needs a '{axis}' axis"
@@ -61,9 +63,20 @@ def shard_tree_zero(tree, mesh: Optional[Mesh], axis: str = "data"):
 
         return replicate(tree, mesh)
 
+    multihost = jax.process_count() > 1
+
     def put(leaf):
         x = np.asarray(leaf) if not isinstance(leaf, jax.Array) else leaf
-        return jax.device_put(x, NamedSharding(mesh, zero_spec(x.shape, n)))
+        sharding = NamedSharding(mesh, zero_spec(x.shape, n, axis=axis))
+        if multihost:
+            # device_put can't span non-addressable devices; every process
+            # holds the full (seeded/jit-replicated) value, so each can
+            # materialize its local shards by slicing
+            host = np.asarray(x)
+            return jax.make_array_from_callback(
+                host.shape, sharding, lambda idx: host[idx]
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, tree)
 

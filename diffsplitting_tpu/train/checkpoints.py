@@ -43,6 +43,38 @@ def _rename_blocks(tree, to_legacy: bool):
     return {rename(k): _rename_blocks(v, to_legacy) for k, v in tree.items()}
 
 
+def _has_legacy_names(ckptr, path) -> bool:
+    """Probe the on-disk checkpoint's key metadata for the legacy remat
+    auto-names, so the renamed-template retry only fires for genuinely
+    legacy checkpoints — any other restore failure (corrupt file, shape
+    mismatch, I/O) surfaces with its original message."""
+    try:
+        tree = ckptr.metadata(path).item_metadata.tree
+    except Exception:
+        return False
+
+    def walk(t) -> bool:
+        if isinstance(t, dict):
+            return any(
+                (isinstance(k, str) and k.startswith("CheckpointResnetBlockWithAttn_"))
+                or walk(v)
+                for k, v in t.items()
+            )
+        return False
+
+    return walk(tree)
+
+
+def _checkpoint_has_key(ckptr, path, key: str) -> bool:
+    """Whether the on-disk checkpoint's top level holds `key` (metadata probe,
+    no restore). Missing/unreadable metadata → False."""
+    try:
+        tree = ckptr.metadata(path).item_metadata.tree
+    except Exception:
+        return False
+    return isinstance(tree, dict) and key in tree
+
+
 def save_checkpoint(ckpt_dir: str, prefix: str, params, opt_state, epoch: int,
                     step: int, ema_params=None):
     """Write `<ckpt_dir>/<prefix>_gen` (params) and `<prefix>_opt` (trainer
@@ -79,14 +111,14 @@ def load_checkpoint(
     ckptr = _checkpointer()
     gen_path = os.path.abspath(f"{prefix_path}_gen")
     abstract_params = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, params_template)
-    try:
-        params = ckptr.restore(gen_path, abstract_params)
-    except Exception:
+    if _has_legacy_names(ckptr, gen_path):
         # pre-fix remat checkpoints named blocks "CheckpointResnetBlockWithAttn_*"
         # (nn.remat auto-prefix); restore through a renamed template and map
         # the keys back to the canonical schema
         renamed = _rename_blocks(abstract_params, to_legacy=True)
         params = _rename_blocks(ckptr.restore(gen_path, renamed), to_legacy=False)
+    else:
+        params = ckptr.restore(gen_path, abstract_params)
 
     opt_state, epoch, step, ema = None, 0, 0, None
     opt_path = os.path.abspath(f"{prefix_path}_opt")
@@ -100,23 +132,20 @@ def load_checkpoint(
         }
         if with_ema:
             abstract_opt["ema"] = abstract_params
+        legacy_opt = _has_legacy_names(ckptr, opt_path)
+
         def _restore_opt(abstract):
-            try:
-                return ckptr.restore(opt_path, abstract)
-            except Exception:
+            if legacy_opt:
                 # legacy remat block naming (see gen restore above)
                 legacy = _rename_blocks(abstract, to_legacy=True)
                 return _rename_blocks(
                     ckptr.restore(opt_path, legacy), to_legacy=False
                 )
+            return ckptr.restore(opt_path, abstract)
 
-        try:
-            restored = _restore_opt(abstract_opt)
-        except Exception:
-            if not with_ema:
-                raise
+        if with_ema and not _checkpoint_has_key(ckptr, opt_path, "ema"):
             abstract_opt.pop("ema")  # pre-EMA checkpoint
-            restored = _restore_opt(abstract_opt)
+        restored = _restore_opt(abstract_opt)
         opt_state = restored["optimizer"]
         epoch = int(restored["epoch"])
         step = int(restored["iter"])

@@ -126,8 +126,7 @@ def main():
                     process, sched, r, c,
                     lambda xin, lvl: _c.apply(p, xin, lvl),
                     lambda xin, lvl, deep: _c.apply(p, xin, lvl, deep),
-                    _c.deep_shape(b),
-                    interval=1, deep_dtype=jnp.bfloat16, refresh_override=rf,
+                    interval=1, refresh_override=rf,
                 )
 
             jitted_by_depth[depth] = jax.jit(_cached)

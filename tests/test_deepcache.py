@@ -72,8 +72,7 @@ def test_interval1_matches_p_sample_loop(which):
 
     full, shallow, cnet = make_cached_denoisers(net, v, cache_depth=2)
     out = cached_p_sample_loop(
-        process, sched, jax.random.PRNGKey(7), cond, full, shallow,
-        cnet.deep_shape(2), interval=1, deep_dtype=jnp.bfloat16,
+        process, sched, jax.random.PRNGKey(7), cond, full, shallow, interval=1,
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
@@ -90,8 +89,7 @@ def test_interval3_runs_and_differs_gracefully():
     full, shallow, cnet = make_cached_denoisers(net, v, cache_depth=1)
     out = jax.jit(
         lambda r, c: cached_p_sample_loop(
-            process, sched, r, c, full, shallow, cnet.deep_shape(2),
-            interval=3, deep_dtype=jnp.bfloat16,
+            process, sched, r, c, full, shallow, interval=3,
         )
     )(jax.random.PRNGKey(7), cond)
     assert out.shape == (2, 16, 16, 3)
@@ -102,8 +100,8 @@ def test_interval3_runs_and_differs_gracefully():
     rf[::3] = 1
     out2 = jax.jit(
         lambda r, c, flags: cached_p_sample_loop(
-            process, sched, r, c, full, shallow, cnet.deep_shape(2),
-            interval=1, deep_dtype=jnp.bfloat16, refresh_override=flags,
+            process, sched, r, c, full, shallow, interval=1,
+            refresh_override=flags,
         )
     )(jax.random.PRNGKey(7), cond, jnp.asarray(rf))
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(out))
