@@ -96,3 +96,37 @@ def scan_with_trajectory(
         body, (init_x, extra_carry, frames), (xs, flags_arr, slots_arr)
     )
     return final_x, final_extra, frames
+
+
+def chunked_reverse_scan(step_fn, consts, init_x, step_inputs, chunk_size: int):
+    """⌈T/K⌉ jitted K-step `lax.scan` chunks + a host loop — bit-identical to
+    one T-step scan of `step_fn` over the same `step_inputs`.
+
+    Exists for shapes whose full-T scan exceeds the compiler: the 512²×2000
+    SR3 chain kernel-faults the TPU worker as ONE scan, while K-step chunks
+    compile (the 128²×100 scan is fine). The rng discipline is untouched —
+    callers pre-split all T step keys and pass them in `step_inputs`, so
+    chunking changes compilation units, not math.
+
+    step_fn(consts, x, inp) -> x. `consts` (params, condition, …) are jit
+    ARGUMENTS — closure-captured trees inline into the compile payload and
+    blow the remote-compile body limit (CLAUDE.md). At most two compiles: the
+    K-step program and the remainder.
+    """
+    T = jax.tree_util.tree_leaves(step_inputs)[0].shape[0]
+    assert chunk_size >= 1
+
+    @jax.jit
+    def run_chunk(consts, x, inputs):
+        def body(x, inp):
+            return step_fn(consts, x, inp), None
+
+        x, _ = jax.lax.scan(body, x, inputs)
+        return x
+
+    x = init_x
+    for s in range(0, T, chunk_size):
+        e = min(s + chunk_size, T)
+        inputs = jax.tree_util.tree_map(lambda a: a[s:e], step_inputs)
+        x = run_chunk(consts, x, inputs)
+    return x

@@ -113,6 +113,42 @@ class SR3Process:
         _, _, frames = scan_with_trajectory(step, img, init_frame, (step_keys, ts), flags, slots)
         return frames
 
+    def p_sample_loop_chunked(
+        self, denoise_apply, params, sched, rng, x_in, chunk_size: int,
+        clip_denoised: bool = True,
+    ):
+        """`p_sample_loop(continuous=False)` as ⌈T/K⌉ jitted K-step scans.
+
+        Bit-identical to the single scan (same pre-split step keys, same step
+        body); for shapes whose full-T program breaks the compiler — the
+        512²×2000 chain (CLAUDE.md). `denoise_apply(params, x, t)` keeps
+        params/condition as jit arguments (chunked_reverse_scan docstring).
+        """
+        T = sched.num_timesteps
+        rng, init_rng = jax.random.split(rng)
+        if self.conditional:
+            shape = x_in.shape[:-1] + (self.channels,)
+            img = jax.random.normal(init_rng, shape, dtype=x_in.dtype)
+            cond = x_in
+        else:
+            shape = tuple(x_in)
+            img = jax.random.normal(init_rng, shape, dtype=jnp.float32)
+            cond = None
+        step_keys = jax.random.split(rng, T)
+        ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+
+        def step_fn(consts, x, inp):
+            p, c = consts
+            key, i = inp
+            dn = lambda xx, tt: denoise_apply(p, xx, tt)  # noqa: E731
+            return self.p_sample(
+                dn, sched, key, x, i, clip_denoised=clip_denoised, condition_x=c
+            )
+
+        from .common import chunked_reverse_scan
+
+        return chunked_reverse_scan(step_fn, (params, cond), img, (step_keys, ts), chunk_size)
+
     def sample(self, denoise_fn, sched, rng, batch_size=1, continuous=False):
         shape = (batch_size, self.image_size, self.image_size, self.channels)
         return self.p_sample_loop(denoise_fn, sched, rng, shape, continuous=continuous)
