@@ -40,6 +40,23 @@ from .factory import define_generator
 logger = logging.getLogger("base")
 
 
+def _fingerprint(x):
+    """Cheap content stamp for feed_data's re-feed check: shape + corner
+    elements. numpy only — jax.Arrays are immutable (and reading their
+    elements would force a device sync through the tunnel)."""
+    if isinstance(x, np.ndarray) and x.size:
+        flat = x.reshape(-1)
+        return (x.shape, float(flat[0]), float(flat[-1]), float(flat[x.size // 2]))
+    return None
+
+
+def _fp_equal(a, b) -> bool:
+    # NaN-containing stamps compare unequal → harmless extra re-feed
+    la = jax.tree_util.tree_leaves(a, is_leaf=lambda t: isinstance(t, tuple))
+    lb = jax.tree_util.tree_leaves(b, is_leaf=lambda t: isinstance(t, tuple))
+    return len(la) == len(lb) and all(x == y for x, y in zip(la, lb))
+
+
 def create_model(opt, **kwargs) -> "DiffusionModel":
     m = DiffusionModel(opt, **kwargs)
     logger.info("Model [%s] is created.", m.__class__.__name__)
@@ -117,6 +134,23 @@ class DiffusionModel:
         # ---------------- EMA (opt-in; the reference declares an
         # ema_scheduler config block but never reads it — enable with
         # train.ema_scheduler.enabled: true)
+        # ---------------- DeepCache serving mode (opt-in; exact chain is the
+        # default). Config: model.deepcache: {interval: k, depth: d} — full
+        # UNet refresh every k-th reverse step, shallow levels only in
+        # between (diffusion/deepcache.py). interval=1 reproduces the exact
+        # chain; the measured sweet spot on v5e is (5,1): 1.58× (BENCH_NOTES).
+        dc_opt = opt["model"].get("deepcache") or {}
+        self.deepcache = None
+        if dc_opt.get("interval"):
+            self.deepcache = (int(dc_opt["interval"]), int(dc_opt.get("depth") or 1))
+        self._warned_dc_continuous = False
+
+        # model.sampler_chunk: K>0 runs conditional sr3/ddpm test() as
+        # ⌈T/K⌉ jitted K-step scan chunks + host loop — bit-identical to the
+        # single scan, for shapes whose full-T program breaks the compiler
+        # (the 512²×2000 chain kernel-faults the tunnel's TPU worker)
+        self.sampler_chunk = int(opt["model"].get("sampler_chunk") or 0)
+
         ema_opt = (opt.get("train") or {}).get("ema_scheduler") or {}
         self.use_ema = bool(ema_opt.get("enabled", False))
         self.ema_decay = float(ema_opt.get("ema_decay", 0.9999))
@@ -190,20 +224,35 @@ class DiffusionModel:
         ~3.5MB/iter on the 40k-iter quality run → host OOM at 130GB). The
         previous host arrays are retained while cached so ids can't be
         recycled by the allocator.
+
+        Contract: arrays must NOT be mutated in place after feeding — a
+        loader that refills one preallocated buffer per step must pass fresh
+        arrays (all in-repo loaders do). As a backstop, a cheap content
+        fingerprint (corner elements + shape) is checked alongside id(), so
+        an in-place refill of the same buffer re-feeds instead of silently
+        training on the stale batch.
         """
         key = jax.tree_util.tree_map(id, data)
-        if getattr(self, "_fed_ids", None) == key and self.data is not None:
+        fp = jax.tree_util.tree_map(_fingerprint, data)
+        if (
+            getattr(self, "_fed_ids", None) == key
+            and self.data is not None
+            and _fp_equal(self._fed_fp, fp)
+        ):
             return
         self.data = shard_batch(data, self.mesh)
         self._fed_ids = key
+        self._fed_fp = fp
         self._fed_host_ref = data  # pin: id() stays unique while cached
 
     # ------------------------------------------------------------- training
     def _apply(self, role, params, x, t, train=False, rng=None):
         net = self.nets[role]
         if not train:
-            # inference rides the fused stat-carried forward on TPU
-            # (models/fused_forward.py); identical math, ~2× fewer HBM passes
+            # apply_unet is the plain flax forward unless DSP_FUSED=1 opts in
+            # to the Pallas conv+GN path — which is equality-tested but was
+            # MEASURED SLOWER end-to-end on v5e (XLA already fuses conv+GN;
+            # BENCH_NOTES round 2, models/fused_forward.py:336-347)
             from diffsplitting_tpu.models import apply_unet
 
             return apply_unet(net, {"params": params[role]}, x, t)
@@ -315,16 +364,70 @@ class DiffusionModel:
             return cast_unet_params_for_inference(params)
         return params
 
+    def set_deepcache(self, interval, depth: int = 1):
+        """Toggle DeepCache serving at runtime (CLI surfaces call this).
+
+        `interval=None` or `1`… any interval ≥ 1 routes test() through the
+        cached sampler except None/0, which restores the exact chain. Clears
+        the jitted-sampler cache so the next test() picks up the change.
+        """
+        self.deepcache = (int(interval), int(depth)) if interval else None
+        self._infer_cache.clear()
+
+    def _deepcache_active(self, kind, continuous) -> bool:
+        if self.deepcache is None or kind != "test":
+            return False
+        if continuous:
+            # the cached loops return only the final frame; trajectory
+            # capture would defeat the cache's scan-carry design
+            if not self._warned_dc_continuous:
+                logger.warning(
+                    "deepcache ignores continuous=True sampling — "
+                    "running the exact chain for trajectory requests"
+                )
+                self._warned_dc_continuous = True
+            return False
+        if self.which in ("ddpm", "sr3") and not self.process.conditional:
+            return False  # unconditional generation goes through sample()
+        return True
+
     def _infer_fn(self, kind, shape, continuous, extra=None, clip_denoised=True):
         """jitted sampler, cached per (kind, shape, schedule, continuous, clip)."""
         T_key = self.current_T if self.which in ("indi", "joint_indi") else (
             self.current_sched.num_timesteps
         )
-        key = (kind, shape, self.schedule_phase, T_key, continuous, extra, clip_denoised)
+        use_dc = self._deepcache_active(kind, continuous)
+        use_chunk = (
+            self.sampler_chunk > 0 and not use_dc and not continuous
+            and kind == "test" and self.which in ("ddpm", "sr3")
+            and self.process.conditional
+        )
+        key = (kind, shape, self.schedule_phase, T_key, continuous, extra,
+               clip_denoised, self.deepcache if use_dc else None,
+               self.sampler_chunk if use_chunk else 0)
         if key in self._infer_cache:
             return self._infer_cache[key]
+        if use_dc:
+            jfn = jax.jit(self._build_deepcache_fn(extra, clip_denoised))
+            self._infer_cache[key] = jfn
+            return jfn
 
         process, which = self.process, self.which
+
+        if use_chunk:
+            sched, chunk = self.current_sched, self.sampler_chunk
+
+            def chunked_fn(params, x_in, rng):
+                # host loop over jitted K-step scans — NOT wrapped in an
+                # outer jit; params/cond stay jit args inside
+                da = lambda p, xx, tt: self._apply("net", p, xx, tt)  # noqa: E731
+                return process.p_sample_loop_chunked(
+                    da, params, sched, rng, x_in, chunk,
+                    clip_denoised=clip_denoised,
+                )
+
+            self._infer_cache[key] = chunked_fn
+            return chunked_fn
 
         if which in ("indi", "joint_indi"):
             T = self.current_T
@@ -367,6 +470,74 @@ class DiffusionModel:
         jfn = jax.jit(fn)
         self._infer_cache[key] = jfn
         return jfn
+
+    def _build_deepcache_fn(self, extra, clip_denoised):
+        """Cached-sampler variant of _infer_fn's closures: the 1.58×
+        measured serving win (BENCH_NOTES), reachable from config/CLI.
+
+        Params stay jit ARGUMENTS (EMA weights work; closure-captured trees
+        also blow the tunnel's remote-compile payload limit, CLAUDE.md)."""
+        from diffsplitting_tpu.models.deepcache import CachedUNet
+
+        interval, depth = self.deepcache
+        process, which = self.process, self.which
+
+        def appliers(role):
+            cnet = CachedUNet.from_unet(self.nets[role], depth)
+
+            def full(params):
+                return lambda xin, lvl: cnet.apply({"params": params[role]}, xin, lvl)
+
+            def shallow(params):
+                return lambda xin, lvl, deep: cnet.apply(
+                    {"params": params[role]}, xin, lvl, deep
+                )
+
+            return full, shallow
+
+        if which in ("indi", "joint_indi"):
+            from diffsplitting_tpu.diffusion.deepcache import (
+                cached_indi_inference,
+                cached_joint_indi_inference,
+            )
+
+            T = self.current_T
+            t_start = extra if extra is not None else (
+                0.5 if which == "joint_indi" else 1.0
+            )
+            if which == "joint_indi":
+                f1, s1 = appliers("net_ch1")
+                f2, s2 = appliers("net_ch2")
+
+                def fn(params, x_in, rng):
+                    return cached_joint_indi_inference(
+                        process, rng, x_in,
+                        (f1(params), s1(params)), (f2(params), s2(params)),
+                        interval=interval, num_timesteps=T,
+                        t_float_start=t_start,
+                    )
+            else:
+                f, s = appliers("net")
+
+                def fn(params, x_in, rng):
+                    return cached_indi_inference(
+                        process, rng, x_in, f(params), s(params),
+                        interval=interval, num_timesteps=T,
+                        t_float_start=t_start,
+                    )
+        else:  # conditional sr3/ddpm reverse chain
+            from diffsplitting_tpu.diffusion.deepcache import cached_p_sample_loop
+
+            sched = self.current_sched
+            f, s = appliers("net")
+
+            def fn(params, x_in, rng):
+                return cached_p_sample_loop(
+                    process, sched, rng, x_in, f(params), s(params),
+                    interval=interval, clip_denoised=clip_denoised,
+                )
+
+        return fn
 
     def test(self, continuous=False, clip_denoised=True, t_float_start=None,
              use_ema=False, **_legacy):
@@ -473,15 +644,25 @@ class DiffusionModel:
             f"{load_path}_gen"
         ):
             torch_path = f"{load_path}_gen.pth"
-        if torch_path is not None and "net" in self.nets:
-            from diffsplitting_tpu.utils.torch_import import (
-                load_reference_checkpoint,
-            )
-
+        if torch_path is not None:
             logger.info("Importing reference torch checkpoint [%s] ...", torch_path)
-            variables = load_reference_checkpoint(torch_path, self.nets["net"])
             params = dict(self.params)
-            params["net"] = variables["params"]
+            if "net" in self.nets:
+                from diffsplitting_tpu.utils.torch_import import (
+                    load_reference_checkpoint,
+                )
+
+                variables = load_reference_checkpoint(torch_path, self.nets["net"])
+                params["net"] = variables["params"]
+            else:  # joint_indi: {net_ch1, net_ch2} + extra scalars
+                from diffsplitting_tpu.utils.torch_import import (
+                    load_reference_joint_checkpoint,
+                )
+
+                variables = load_reference_joint_checkpoint(
+                    torch_path, self.nets["net_ch1"], self.nets["net_ch2"]
+                )
+                params.update(variables["params"])
             self.params = self._place_params(params)
             if self.use_ema:
                 self.ema_params = self.params

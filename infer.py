@@ -32,6 +32,10 @@ def main():
     parser.add_argument("-enable_wandb", action="store_true")
     parser.add_argument("-log_infer", action="store_true")
     parser.add_argument("-rootdir", type=str, default=None)
+    parser.add_argument("--deepcache", type=str, default=None, metavar="K[,D]",
+                        help="DeepCache serving (full refresh every K steps, "
+                             "split depth D). Final frames only — the "
+                             "*_sr_process.png trajectory grid is skipped.")
     args = parser.parse_args()
 
     opt = Logger.parse(args)
@@ -52,6 +56,11 @@ def main():
     diffusion = create_model(opt)
     logger.info("Initial Model Finished")
     diffusion.set_new_noise_schedule(opt["model"]["beta_schedule"]["val"], "val")
+    deepcache = None
+    if args.deepcache:
+        parts = [int(v) for v in args.deepcache.split(",")]
+        deepcache = (parts[0], parts[1] if len(parts) > 1 else 1)
+        diffusion.set_deepcache(*deepcache)
 
     logger.info("Begin Model Inference.")
     current_step, idx = 0, 0
@@ -62,16 +71,21 @@ def main():
         idx += 1
         batch = {"input": val_data["SR"], "target": val_data["HR"]}
         diffusion.feed_data(batch)
-        diffusion.test(continuous=True)
+        # deepcache's scan-carry cache yields final frames only — no
+        # trajectory grid in that mode
+        diffusion.test(continuous=deepcache is None)
         visuals = diffusion.get_current_visuals(need_LR=False)
 
-        frames = visuals["prediction"]  # (n_frames, B, H, W, C)
         hr_img = tensor2img(visuals["target"])
         fake_img = tensor2img(visuals["input"])  # the bicubic-upsampled condition
 
-        grid = tensor2img(frames.reshape((-1,) + frames.shape[2:]))
-        save_img(_hwc(grid), f"{result_path}/{current_step}_{idx}_sr_process.png")
-        sr_final = tensor2img(frames[-1])
+        if deepcache is None:
+            frames = visuals["prediction"]  # (n_frames, B, H, W, C)
+            grid = tensor2img(frames.reshape((-1,) + frames.shape[2:]))
+            save_img(_hwc(grid), f"{result_path}/{current_step}_{idx}_sr_process.png")
+            sr_final = tensor2img(frames[-1])
+        else:
+            sr_final = tensor2img(visuals["prediction"])
         save_img(_hwc(sr_final), f"{result_path}/{current_step}_{idx}_sr.png")
         save_img(_hwc(hr_img), f"{result_path}/{current_step}_{idx}_hr.png")
         save_img(_hwc(fake_img), f"{result_path}/{current_step}_{idx}_inf.png")

