@@ -134,9 +134,13 @@ def init_on_host(init_fn, *args, **kwargs):
     Orthogonal init runs QR factorizations for every conv kernel — minutes on
     a TPU backend (and through a remote tunnel), milliseconds-to-seconds on
     host. Falls back to the default device when no CPU backend exists.
+
+    Must be a LOCAL device: on multi-process runs `jax.devices("cpu")[0]` is
+    process 0's device, and eager dispatch onto a non-addressable device
+    segfaults (found by the 2-process test, tests/test_multihost.py).
     """
     try:
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         return init_fn(*args, **kwargs)
     with jax.default_device(cpu):
@@ -144,8 +148,25 @@ def init_on_host(init_fn, *args, **kwargs):
 
 
 def replicate(tree, mesh: Optional[Mesh]):
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Multi-host: device_put can't target non-addressable devices, so leaves
+    are assembled via `make_array_from_callback` (every process must hold
+    the same host value — true for seeded init and jit outputs). Leaves that
+    already carry an equivalent global sharding pass through untouched.
+    """
     if mesh is None:
         return tree
     sharding = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        if isinstance(x, jax.Array) and x.sharding.is_equivalent_to(sharding, x.ndim):
+            return x
+        host = np.asarray(x)  # requires fully-replicated (or host) input
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+
+    return jax.tree_util.tree_map(put, tree)
