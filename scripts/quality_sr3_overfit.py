@@ -113,6 +113,12 @@ def main():
                          "loop instead of the scanned chain (the 512d "
                          "2000-step scan compile crashes this tunnel's TPU "
                          "worker; the small per-step program compiles fine)")
+    ap.add_argument("--chunk", type=int, default=-1,
+                    help="sample in jitted K-step scan chunks + host loop "
+                         "(bit-identical to the single scan; "
+                         "model.sampler_chunk). -1 = auto: chunked at "
+                         "image_size >= 512, single scan below. 0 = force "
+                         "the single full-T scan.")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="track an EMA of the params at this decay and sample "
                          "from it (long overfits without EMA degrade: the "
@@ -132,6 +138,11 @@ def main():
 
     # ------------------------------------------------- dataset from shipped imgs
     batch_np = prepare_face_batch(args.workdir, args.l_res, args.r_res)
+
+    # chunked sampling default: the 512² full-T scan is un-compilable through
+    # this tunnel (CLAUDE.md); K-step chunks are bit-identical and compile
+    if args.chunk < 0:
+        args.chunk = 100 if args.r_res >= 512 else 0
 
     # --------------------------------------------------------------- training
     opt0 = build_opt(f"{args.workdir}/ckpt", args.config, lr=args.lr,
@@ -195,6 +206,9 @@ def main():
         model = DiffusionModel(opt2)
         print("reloaded checkpoint into remat-free model for sampling", flush=True)
     model.set_new_noise_schedule(model.opt["model"]["beta_schedule"]["val"], "val")
+    if args.chunk > 0 and not args.stepwise:
+        model.sampler_chunk = args.chunk
+        print(f"chunked sampling: {args.chunk}-step scan chunks", flush=True)
     chunks = []
     if args.stepwise:
         import jax
