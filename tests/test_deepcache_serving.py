@@ -129,7 +129,7 @@ def test_predict_cli_joint_pth_with_deepcache(tmp_path):
     if not os.path.isdir(REF):
         pytest.skip("reference tree not present")
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        sys.path.append(REF)
     from model.ddpm_modules.joint_indi import JointIndi
     from model.ddpm_modules.unet import UNet as RefUNet
 
@@ -182,7 +182,8 @@ def test_predict_cli_joint_pth_with_deepcache(tmp_path):
     res = subprocess.run(
         [sys.executable, "predict.py", "-c", str(cfg_path),
          "--resume", prefix, "--input", in_tif, "--out", out_dir,
-         "--num_steps", "4", "--batch_size", "4", "--deepcache", "2,1"],
+         "--num_steps", "4", "--batch_size", "4", "--deepcache", "2,1",
+         "--mmse", "2"],  # exercises the coalesced (batched-chain) MMSE path
         cwd=repo, env=env, capture_output=True, text=True, timeout=600,
     )
     assert res.returncode == 0, res.stderr[-3000:]

@@ -29,7 +29,7 @@ from diffsplitting_tpu.utils.torch_import import (  # noqa: E402
 
 def _ref_module(flavor):
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        sys.path.append(REF)
     if flavor == "sr3":
         from model.sr3_modules.unet import UNet as RefUNet
     else:
@@ -117,7 +117,7 @@ def test_wrapper_root_checkpoint_imports():
     (model.py:137-142 saves netG.state_dict()), so keys carry a
     `denoise_fn.` prefix plus 12 schedule buffers — both must be handled."""
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        sys.path.append(REF)
     from model.sr3_modules.diffusion import GaussianDiffusion as RefDiffusion
 
     torch.manual_seed(2)
@@ -153,7 +153,7 @@ JOINT_KW = dict(in_channel=1, out_channel=1, inner_channel=8, norm_groups=4,
 def _ref_joint(kw=JOINT_KW, n_timestep=4, e=0.0):
     """EXECUTE the reference JointIndi (e=0 → deterministic inference)."""
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        sys.path.append(REF)
     from model.ddpm_modules.joint_indi import JointIndi
     from model.ddpm_modules.unet import UNet as RefUNet
 
