@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--t_float_start", type=float, default=None)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--mmse", type=int, default=1)
+    ap.add_argument("--coalesce", type=int, default=1,
+                    help="1 (default): run the --mmse repetitions as ONE "
+                         "batched chain (higher MFU at low batch); 0: "
+                         "sequential chains (lower peak memory)")
     ap.add_argument("--deepcache", type=str, default=None, metavar="K[,D]",
                     help="DeepCache serving: full UNet refresh every K steps, "
                          "shallow-only in between (split depth D, default 1). "
@@ -101,6 +105,14 @@ def main():
     )
 
     def infer_fn(tile_batch):
+        if args.mmse > 1 and args.coalesce:
+            # batch the independent MMSE chains into ONE wider chain: v5e MFU
+            # rises with batch (b8 38% -> b16 44% -> b32 48%, BENCH_NOTES),
+            # so averaging N reps costs less than N sequential chains
+            b = tile_batch.shape[0]
+            model.data = {"input": np.tile(tile_batch, (args.mmse, 1, 1, 1))}
+            out = np.asarray(model.test(continuous=False, t_float_start=t_start))
+            return out.reshape((args.mmse, b) + out.shape[1:]).mean(axis=0)
         reps = []
         for _ in range(args.mmse):
             model.data = {"input": tile_batch}
