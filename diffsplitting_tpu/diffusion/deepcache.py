@@ -123,6 +123,85 @@ def cached_p_sample_loop(
     return final_img
 
 
+def cached_p_sample_loop_chunked(
+    process,
+    sched,
+    rng,
+    x_in,
+    apply_full_p,
+    apply_shallow_p,
+    consts,
+    interval: int = 1,
+    clip_denoised: bool = True,
+    chunk_size: int = 100,
+):
+    """`cached_p_sample_loop` as ⌈T/K⌉ jitted K-step scans + a host loop.
+
+    Composes the two round-3 serving features: the deep-feature cache rides
+    the chunk carry, so chains whose full-T program breaks the compiler (the
+    512²×2000 SR3 chain, CLAUDE.md) still get DeepCache. Identical rng
+    discipline → bit-identical math to the single-scan cached loop.
+
+    apply_full_p(consts, net_in, lvl) / apply_shallow_p(consts, net_in, lvl,
+    deep): params-as-argument appliers — `consts` (the param tree) is a jit
+    ARGUMENT of every chunk, never a closure capture (remote-compile payload
+    limit, chunked_reverse_scan docstring).
+    """
+    assert isinstance(process, (SR3Process, DDPMProcess))
+    assert process.conditional
+    is_sr3 = isinstance(process, SR3Process)
+    T = sched.num_timesteps
+    b = x_in.shape[0]
+
+    rng, init_rng = jax.random.split(rng)
+    cond = x_in
+    shape = cond.shape[:-1] + (process.channels,)
+    img = jax.random.normal(init_rng, shape, dtype=cond.dtype)
+    step_keys = jax.random.split(rng, T)
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    refresh = _refresh_flags(T, interval, None)
+
+    net_in_sds = jax.ShapeDtypeStruct(
+        cond.shape[:-1] + (cond.shape[-1] + process.channels,), img.dtype
+    )
+    lvl_sds = jax.ShapeDtypeStruct((b,), img.dtype if is_sr3 else jnp.float32)
+    deep_sds = jax.eval_shape(
+        lambda c, ni, lvl: apply_full_p(c, ni, lvl), consts, net_in_sds, lvl_sds
+    )[1]
+    deep0 = jnp.zeros(deep_sds.shape, deep_sds.dtype)
+
+    def step_fn(cc, carry, inp):
+        p, c = cc
+        x, deep = carry
+        key, i, rf = inp
+        net_in = jnp.concatenate([c, x], axis=-1)
+        if is_sr3:
+            lvl = jnp.full((b,), sched.sqrt_alphas_cumprod_prev[i + 1], dtype=x.dtype)
+            t_arg = i
+        else:
+            t_full = jnp.full((b,), i, dtype=jnp.int32)
+            lvl = t_full.astype(jnp.float32)
+            t_arg = t_full
+        eps, deep = jax.lax.cond(
+            rf > 0,
+            lambda op: apply_full_p(p, op[0], op[1]),
+            lambda op: apply_shallow_p(p, op[0], op[1], op[2]),
+            (net_in, lvl, deep),
+        )
+        x = process.p_sample(
+            lambda *_: eps, sched, key, x, t_arg,
+            clip_denoised=clip_denoised, condition_x=c,
+        )
+        return (x, deep)
+
+    from .common import chunked_reverse_scan
+
+    final_img, _ = chunked_reverse_scan(
+        step_fn, (consts, cond), (img, deep0), (step_keys, ts, refresh), chunk_size
+    )
+    return final_img
+
+
 def _refresh_flags(N: int, interval: int, refresh_override):
     if refresh_override is not None:
         return refresh_override

@@ -397,20 +397,25 @@ class DiffusionModel:
             self.current_sched.num_timesteps
         )
         use_dc = self._deepcache_active(kind, continuous)
-        use_chunk = (
-            self.sampler_chunk > 0 and not use_dc and not continuous
-            and kind == "test" and self.which in ("ddpm", "sr3")
-            and self.process.conditional
+        chunkable = (
+            self.sampler_chunk > 0 and not continuous and kind == "test"
+            and self.which in ("ddpm", "sr3") and self.process.conditional
         )
+        use_chunk = chunkable and not use_dc
         key = (kind, shape, self.schedule_phase, T_key, continuous, extra,
                clip_denoised, self.deepcache if use_dc else None,
-               self.sampler_chunk if use_chunk else 0)
+               self.sampler_chunk if (use_chunk or (use_dc and chunkable)) else 0)
         if key in self._infer_cache:
             return self._infer_cache[key]
         if use_dc:
-            jfn = jax.jit(self._build_deepcache_fn(extra, clip_denoised))
-            self._infer_cache[key] = jfn
-            return jfn
+            if chunkable:
+                # DeepCache + chunked scans compose: the cache rides the
+                # chunk carry (512²-class chains, cached_p_sample_loop_chunked)
+                fn = self._build_deepcache_chunked_fn(clip_denoised)
+            else:
+                fn = jax.jit(self._build_deepcache_fn(extra, clip_denoised))
+            self._infer_cache[key] = fn
+            return fn
 
         process, which = self.process, self.which
 
@@ -536,6 +541,32 @@ class DiffusionModel:
                     process, sched, rng, x_in, f(params), s(params),
                     interval=interval, clip_denoised=clip_denoised,
                 )
+
+        return fn
+
+    def _build_deepcache_chunked_fn(self, clip_denoised):
+        """Cached sampler over K-step scan chunks (conditional sr3/ddpm):
+        model.deepcache × model.sampler_chunk. Host loop of jitted chunks;
+        params stay jit arguments of every chunk."""
+        from diffsplitting_tpu.diffusion.deepcache import (
+            cached_p_sample_loop_chunked,
+        )
+        from diffsplitting_tpu.models.deepcache import CachedUNet
+
+        interval, depth = self.deepcache
+        process, sched, chunk = self.process, self.current_sched, self.sampler_chunk
+        cnet = CachedUNet.from_unet(self.nets["net"], depth)
+
+        def fn(params, x_in, rng):
+            full = lambda p, ni, lvl: cnet.apply({"params": p["net"]}, ni, lvl)
+            shallow = lambda p, ni, lvl, deep: cnet.apply(
+                {"params": p["net"]}, ni, lvl, deep
+            )
+            return cached_p_sample_loop_chunked(
+                process, sched, rng, x_in, full, shallow, params,
+                interval=interval, clip_denoised=clip_denoised,
+                chunk_size=chunk,
+            )
 
         return fn
 

@@ -113,6 +113,9 @@ def main():
                          "loop instead of the scanned chain (the 512d "
                          "2000-step scan compile crashes this tunnel's TPU "
                          "worker; the small per-step program compiles fine)")
+    ap.add_argument("--deepcache", type=str, default=None, metavar="K[,D]",
+                    help="DeepCache serving during sampling (composes with "
+                         "--chunk: the cache rides the chunk carry)")
     ap.add_argument("--chunk", type=int, default=-1,
                     help="sample in jitted K-step scan chunks + host loop "
                          "(bit-identical to the single scan; "
@@ -209,6 +212,10 @@ def main():
     if args.chunk > 0 and not args.stepwise:
         model.sampler_chunk = args.chunk
         print(f"chunked sampling: {args.chunk}-step scan chunks", flush=True)
+    if args.deepcache and not args.stepwise:
+        parts = [int(v) for v in args.deepcache.split(",")]
+        model.set_deepcache(parts[0], parts[1] if len(parts) > 1 else 1)
+        print(f"deepcache sampling: interval {parts[0]}", flush=True)
     chunks = []
     if args.stepwise:
         import jax
@@ -243,8 +250,15 @@ def main():
     else:
         for i0 in range(0, n, bs):
             model.feed_data({"input": batch_np["input"][i0 : i0 + bs]})
+            t0 = time.perf_counter()
             chunks.append(np.asarray(model.test(continuous=False,
                                                 use_ema=args.ema > 0)))
+            T_val = int(model.opt["model"]["beta_schedule"]["val"]["n_timestep"])
+            dt = time.perf_counter() - t0
+            print(f"batch {i0}: {T_val} reverse steps in {dt:.0f}s "
+                  f"({T_val / dt:.1f} steps/s"
+                  + (f", chunk={args.chunk}" if args.chunk else ", single scan")
+                  + ")", flush=True)
     sr = np.concatenate(chunks, axis=0)
 
     os.makedirs(args.out, exist_ok=True)

@@ -45,6 +45,73 @@ def test_chunked_matches_single_scan(which, chunk):
     np.testing.assert_array_equal(got, want)
 
 
+def test_cached_chunked_matches_cached_single_scan():
+    """DeepCache × chunking: the chunk-carried cache reproduces the
+    single-scan cached loop (and at interval=1, the exact chain)."""
+    from diffsplitting_tpu.diffusion.deepcache import (
+        cached_p_sample_loop,
+        cached_p_sample_loop_chunked,
+        make_cached_denoisers,
+    )
+
+    net, process, sched, v, cond = _setup("sr3")
+    full, shallow, cnet = make_cached_denoisers(net, v, cache_depth=1)
+    full_p = lambda p, ni, lvl: cnet.apply(p, ni, lvl)  # noqa: E731
+    shallow_p = lambda p, ni, lvl, d: cnet.apply(p, ni, lvl, d)  # noqa: E731
+
+    for interval in (1, 3):
+        want = np.asarray(cached_p_sample_loop(
+            process, sched, jax.random.PRNGKey(7), cond, full, shallow,
+            interval=interval))
+        got = np.asarray(cached_p_sample_loop_chunked(
+            process, sched, jax.random.PRNGKey(7), cond, full_p, shallow_p,
+            v, interval=interval, chunk_size=4))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    # interval=1 through the chunked cached loop == the exact chain
+    denoise = lambda xx, tt: net.apply(v, xx, tt)  # noqa: E731
+    exact = np.asarray(process.p_sample_loop(
+        denoise, sched, jax.random.PRNGKey(7), cond, continuous=False))
+    got1 = np.asarray(cached_p_sample_loop_chunked(
+        process, sched, jax.random.PRNGKey(7), cond, full_p, shallow_p, v,
+        interval=1, chunk_size=3))
+    np.testing.assert_allclose(got1, exact, rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_deepcache_plus_chunk_route(tmp_path):
+    """model.deepcache × model.sampler_chunk through test(): interval=1
+    reproduces the plain-chunk (== exact) chain."""
+    from tests.test_trainer import synth_batch, tiny_opt
+
+    from diffsplitting_tpu.train import DiffusionModel
+
+    batch = {"input": synth_batch(b=2, in_ch=1, out_ch=1)["input"]}
+
+    opt = tiny_opt("sr3", tmp_path, conditional=True, in_ch=2, out_ch=1,
+                   channels=1)
+    plain = DiffusionModel(opt, seed=0)
+    plain.set_new_noise_schedule(opt["model"]["beta_schedule"]["val"], "val")
+    plain.feed_data(batch)
+    want = np.asarray(plain.test(continuous=False))
+
+    opt2 = tiny_opt("sr3", tmp_path, conditional=True, in_ch=2, out_ch=1,
+                    channels=1)
+    opt2["model"]["sampler_chunk"] = 3
+    from diffsplitting_tpu.config import dict_to_nonedict
+
+    opt2["model"]["deepcache"] = dict_to_nonedict({"interval": 1, "depth": 1})
+    both = DiffusionModel(opt2, seed=0)
+    both.set_new_noise_schedule(opt2["model"]["beta_schedule"]["val"], "val")
+    both.feed_data(batch)
+    got = np.asarray(both.test(continuous=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # interval>1 still runs through the composed route
+    both.set_deepcache(2, 1)
+    out = np.asarray(both.test(continuous=False))
+    assert out.shape == want.shape and np.isfinite(out).all()
+
+
 def test_trainer_sampler_chunk_route(tmp_path):
     from tests.test_trainer import synth_batch, tiny_opt
 
