@@ -58,22 +58,28 @@ def cached_p_sample_loop(
     """Conditional reverse chain with a deep-feature cache in the scan carry.
 
     process: SR3Process or DDPMProcess (conditional mode). x_in: condition
-    image (NHWC). The cache's shape AND dtype are derived from the full
-    forward via eval_shape (scan carries must be type-stable; hard-coding a
-    cache dtype broke f32 nets). Returns the final image, like
+    image (NHWC) when the process is conditional, else a static shape tuple
+    (B,H,W,C) for unconditional generation (matching p_sample_loop's x_in
+    contract). The cache's shape AND dtype are derived from the full forward
+    via eval_shape (scan carries must be type-stable; hard-coding a cache
+    dtype broke f32 nets). Returns the final image, like
     p_sample_loop(continuous=False).
     """
     assert isinstance(process, (SR3Process, DDPMProcess))
-    assert process.conditional, "deepcache sampling is for the conditional path"
     is_sr3 = isinstance(process, SR3Process)
     T = sched.num_timesteps
-    b = x_in.shape[0]
 
     # mirror p_sample_loop's rng discipline exactly (bit-equal at interval=1)
     rng, init_rng = jax.random.split(rng)
-    cond = x_in
-    shape = cond.shape[:-1] + (process.channels,)
-    img = jax.random.normal(init_rng, shape, dtype=cond.dtype)
+    if process.conditional:
+        cond = x_in
+        shape = cond.shape[:-1] + (process.channels,)
+        img = jax.random.normal(init_rng, shape, dtype=cond.dtype)
+    else:
+        cond = None
+        shape = tuple(x_in)
+        img = jax.random.normal(init_rng, shape, dtype=jnp.float32)
+    b = shape[0]
     step_keys = jax.random.split(rng, T)
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
     if refresh_override is not None:
@@ -88,9 +94,8 @@ def cached_p_sample_loop(
     # derive the cache's exact shape AND dtype from the full forward itself
     # (the net's compute dtype decides it — hard-coding bf16 broke f32 nets:
     # scan carries must be type-stable)
-    net_in_sds = jax.ShapeDtypeStruct(
-        cond.shape[:-1] + (cond.shape[-1] + process.channels,), img.dtype
-    )
+    in_ch = shape[-1] + (cond.shape[-1] if cond is not None else 0)
+    net_in_sds = jax.ShapeDtypeStruct(shape[:-1] + (in_ch,), img.dtype)
     lvl_sds = jax.ShapeDtypeStruct((b,), img.dtype if is_sr3 else jnp.float32)
     deep_sds = jax.eval_shape(apply_full, net_in_sds, lvl_sds)[1]
     deep0 = jnp.zeros(deep_sds.shape, deep_sds.dtype)
@@ -98,7 +103,7 @@ def cached_p_sample_loop(
     def body(carry, inp):
         x, deep = carry
         key, i, rf = inp
-        net_in = jnp.concatenate([cond, x], axis=-1)
+        net_in = x if cond is None else jnp.concatenate([cond, x], axis=-1)
         if is_sr3:
             lvl = jnp.full((b,), sched.sqrt_alphas_cumprod_prev[i + 1], dtype=x.dtype)
             t_arg = i

@@ -375,7 +375,7 @@ class DiffusionModel:
         self._infer_cache.clear()
 
     def _deepcache_active(self, kind, continuous) -> bool:
-        if self.deepcache is None or kind != "test":
+        if self.deepcache is None or kind not in ("test", "sample"):
             return False
         if continuous:
             # the cached loops return only the final frame; trajectory
@@ -387,8 +387,11 @@ class DiffusionModel:
                 )
                 self._warned_dc_continuous = True
             return False
+        if kind == "sample":
+            # unconditional generation (sample.py): ddpm/sr3 with no condition
+            return self.which in ("ddpm", "sr3") and not self.process.conditional
         if self.which in ("ddpm", "sr3") and not self.process.conditional:
-            return False  # unconditional generation goes through sample()
+            return False  # unconditional models serve through sample()
         return True
 
     def _infer_fn(self, kind, shape, continuous, extra=None, clip_denoised=True):
@@ -413,7 +416,8 @@ class DiffusionModel:
                 # chunk carry (512²-class chains, cached_p_sample_loop_chunked)
                 fn = self._build_deepcache_chunked_fn(clip_denoised)
             else:
-                fn = jax.jit(self._build_deepcache_fn(extra, clip_denoised))
+                fn = jax.jit(self._build_deepcache_fn(
+                    extra, clip_denoised, kind=kind, shape=shape))
             self._infer_cache[key] = fn
             return fn
 
@@ -476,9 +480,11 @@ class DiffusionModel:
         self._infer_cache[key] = jfn
         return jfn
 
-    def _build_deepcache_fn(self, extra, clip_denoised):
+    def _build_deepcache_fn(self, extra, clip_denoised, kind="test", shape=None):
         """Cached-sampler variant of _infer_fn's closures: the 1.58×
         measured serving win (BENCH_NOTES), reachable from config/CLI.
+        kind='sample' builds the unconditional-generation chain over the
+        static `shape` instead of a condition input.
 
         Params stay jit ARGUMENTS (EMA weights work; closure-captured trees
         also blow the tunnel's remote-compile payload limit, CLAUDE.md)."""
@@ -530,17 +536,23 @@ class DiffusionModel:
                         interval=interval, num_timesteps=T,
                         t_float_start=t_start,
                     )
-        else:  # conditional sr3/ddpm reverse chain
+        else:  # sr3/ddpm reverse chain (conditional test or unconditional sample)
             from diffsplitting_tpu.diffusion.deepcache import cached_p_sample_loop
 
             sched = self.current_sched
             f, s = appliers("net")
-
-            def fn(params, x_in, rng):
-                return cached_p_sample_loop(
-                    process, sched, rng, x_in, f(params), s(params),
-                    interval=interval, clip_denoised=clip_denoised,
-                )
+            if kind == "sample":
+                def fn(params, x_in, rng):
+                    return cached_p_sample_loop(
+                        process, sched, rng, shape, f(params), s(params),
+                        interval=interval, clip_denoised=clip_denoised,
+                    )
+            else:
+                def fn(params, x_in, rng):
+                    return cached_p_sample_loop(
+                        process, sched, rng, x_in, f(params), s(params),
+                        interval=interval, clip_denoised=clip_denoised,
+                    )
 
         return fn
 

@@ -120,6 +120,30 @@ def test_ema_plus_deepcache(tmp_path):
     assert np.isfinite(out).all()
 
 
+def test_unconditional_sample_deepcache(tmp_path):
+    """sample() (unconditional generation, sample.py's serving path) rides
+    the cached chain too; interval=1 matches the exact sampler bit-for-bit."""
+    opt = tiny_opt("ddpm", tmp_path, conditional=False, in_ch=2, out_ch=2,
+                   channels=2)
+    model = DiffusionModel(opt, seed=0)
+    model._rng_counter = 10
+    exact = np.asarray(model.sample(batch_size=2, continuous=False))
+
+    model.set_deepcache(1, 1)
+    model._rng_counter = 10
+    cached1 = np.asarray(model.sample(batch_size=2, continuous=False))
+    np.testing.assert_array_equal(cached1, exact)
+
+    model.set_deepcache(2, 1)
+    model._rng_counter = 10
+    fast = np.asarray(model.sample(batch_size=2, continuous=False))
+    assert fast.shape == exact.shape and np.isfinite(fast).all()
+
+    # trajectory sampling still falls back to the exact chain
+    frames = np.asarray(model.sample(batch_size=1, continuous=True))
+    assert frames.ndim == 5
+
+
 @pytest.mark.slow
 def test_predict_cli_joint_pth_with_deepcache(tmp_path):
     """predict.py resumes a REFERENCE joint-InDI `.pth` and serves it with
