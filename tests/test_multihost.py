@@ -28,11 +28,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_feeding_matches_single_process(tmp_path):
+def _run_workers(tmp_path, attempt):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     port = _free_port()
-    out_path = str(tmp_path / "worker0.json")
+    out_path = str(tmp_path / f"worker0_{attempt}.json")
 
     env = dict(os.environ)
     env["PYTHONPATH"] = repo  # drop the axon site: pure-CPU subprocesses
@@ -47,10 +46,22 @@ def test_two_process_feeding_matches_single_process(tmp_path):
         for i in range(2)
     ]
     outs = [p.communicate(timeout=600) for p in procs]
-    for p, (stdout, stderr) in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{stderr[-3000:]}"
+    errs = [stderr for p, (_, stderr) in zip(procs, outs) if p.returncode != 0]
+    if errs:
+        return None, errs[0]
     with open(out_path) as f:
-        multi_loss = json.load(f)["loss"]
+        return json.load(f)["loss"], None
+
+
+@pytest.mark.slow
+def test_two_process_feeding_matches_single_process(tmp_path):
+    # the coordination service's heartbeats are wall-clock-sensitive: under a
+    # fully loaded host (the rest of the suite) a worker can get evicted and
+    # die through no fault of the code under test — retry once before failing
+    multi_loss, err = _run_workers(tmp_path, 0)
+    if multi_loss is None:
+        multi_loss, err = _run_workers(tmp_path, 1)
+    assert multi_loss is not None, f"workers failed twice:\n{err[-3000:]}"
 
     # single-process reference: same model seed, same global batch, same
     # 8-device mesh (conftest gives this process 8 virtual CPU devices)
