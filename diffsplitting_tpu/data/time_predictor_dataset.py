@@ -44,8 +44,18 @@ def compute_input_normalization_dict(data_dict, n_timesteps, mean_target, std_ta
 
 
 class TimePredictorDataset(SplitDataset):
-    def __init__(self, *args, step_size=0.05, gaussian_noise_std_factor=None, **kwargs):
+    def __init__(self, *args, step_size=0.05, gaussian_noise_std_factor=None,
+                 raw_mixture_inputs=False, **kwargs):
+        """raw_mixture_inputs=True drops the reference's per-t min-max rescale
+        (:50-89) and trains directly on t·ch0n + (1-t)·ch1n — the EXACT input
+        the t-refinement workflow serves at inference
+        (core/psnr_based_t_refinement.py feeds the plain normalized mixture).
+        The reference's min-max path creates a train/serve mismatch that
+        makes the classifier systematically underestimate t (measured:
+        BENCH_NOTES round 3, t̂ ≈ 0.6·t_true); keep it for parity, opt into
+        raw inputs via `datasets.train.raw_mixture_inputs`."""
         self._gaussian_noise_std_factor = gaussian_noise_std_factor
+        self._raw_mixture_inputs = bool(raw_mixture_inputs)
         super().__init__(*args, **kwargs)
         self._num_timesteps = 100
         self.input_normalization_dict = compute_input_normalization_dict(
@@ -106,7 +116,8 @@ class TimePredictorDataset(SplitDataset):
 
         t, t_int = self.sample_t()
         inp = t * patch1 + (1 - t) * patch2
-        inp = self.min_max_normalize(inp, t_int)
+        if not self._raw_mixture_inputs:
+            inp = self.min_max_normalize(inp, t_int)
 
         if self._gaussian_noise_std_factor is not None:
             inp = inp + self._rng.normal(

@@ -142,7 +142,9 @@ class DiffusionModel:
         dc_opt = opt["model"].get("deepcache") or {}
         self.deepcache = None
         if dc_opt.get("interval"):
-            self.deepcache = (int(dc_opt["interval"]), int(dc_opt.get("depth") or 1))
+            iv = dc_opt["interval"]
+            self.deepcache = (iv if iv == "auto" else int(iv),
+                              int(dc_opt.get("depth") or 1))
         self._warned_dc_continuous = False
 
         # model.sampler_chunk: K>0 runs conditional sr3/ddpm test() as
@@ -367,12 +369,30 @@ class DiffusionModel:
     def set_deepcache(self, interval, depth: int = 1):
         """Toggle DeepCache serving at runtime (CLI surfaces call this).
 
-        `interval=None` or `1`… any interval ≥ 1 routes test() through the
-        cached sampler except None/0, which restores the exact chain. Clears
-        the jitted-sampler cache so the next test() picks up the change.
+        `interval=None` or `0` restores the exact chain; any interval ≥ 1
+        routes test()/sample() through the cached sampler; `"auto"` picks
+        the interval from the chain length (see _dc_interval). Clears the
+        jitted-sampler cache so the next test() picks up the change.
         """
-        self.deepcache = (int(interval), int(depth)) if interval else None
+        if interval:
+            iv = interval if interval == "auto" else int(interval)
+            self.deepcache = (iv, int(depth))
+        else:
+            self.deepcache = None
         self._infer_cache.clear()
+
+    def _dc_interval(self, T: int) -> int:
+        """Resolve the refresh interval for a T-step chain.
+
+        'auto' = clamp(round(0.4·T), 1, 5): the round-3 schedule study
+        (BENCH_NOTES) showed fidelity tracks the refresh SPAN, not the
+        interval — ≥45 dB holds at span ≤ ~2/5 of the chain (N=10→4,
+        N=25/50→5) and the 2000-step chains measured best at 5.
+        """
+        iv, _ = self.deepcache
+        if iv == "auto":
+            return max(1, min(5, round(0.4 * T)))
+        return iv
 
     def _deepcache_active(self, kind, continuous) -> bool:
         if self.deepcache is None or kind not in ("test", "sample"):
@@ -490,7 +510,11 @@ class DiffusionModel:
         also blow the tunnel's remote-compile payload limit, CLAUDE.md)."""
         from diffsplitting_tpu.models.deepcache import CachedUNet
 
-        interval, depth = self.deepcache
+        depth = self.deepcache[1]
+        interval = self._dc_interval(
+            self.current_T if self.which in ("indi", "joint_indi")
+            else self.current_sched.num_timesteps
+        )
         process, which = self.process, self.which
 
         def appliers(role):
@@ -565,8 +589,9 @@ class DiffusionModel:
         )
         from diffsplitting_tpu.models.deepcache import CachedUNet
 
-        interval, depth = self.deepcache
+        depth = self.deepcache[1]
         process, sched, chunk = self.process, self.current_sched, self.sampler_chunk
+        interval = self._dc_interval(sched.num_timesteps)
         cnet = CachedUNet.from_unet(self.nets["net"], depth)
 
         def fn(params, x_in, rng):

@@ -58,8 +58,9 @@ def main():
     diffusion.set_new_noise_schedule(opt["model"]["beta_schedule"]["val"], "val")
     deepcache = None
     if args.deepcache:
-        parts = [int(v) for v in args.deepcache.split(",")]
-        deepcache = (parts[0], parts[1] if len(parts) > 1 else 1)
+        parts = args.deepcache.split(",")
+        iv = parts[0] if parts[0] == "auto" else int(parts[0])
+        deepcache = (iv, int(parts[1]) if len(parts) > 1 else 1)
         diffusion.set_deepcache(*deepcache)
 
     logger.info("Begin Model Inference.")

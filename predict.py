@@ -88,8 +88,9 @@ def main():
 
     model = DiffusionModel(opt)
     if args.deepcache:
-        parts = [int(v) for v in args.deepcache.split(",")]
-        model.set_deepcache(parts[0], parts[1] if len(parts) > 1 else 1)
+        parts = args.deepcache.split(",")
+        iv = parts[0] if parts[0] == "auto" else int(parts[0])
+        model.set_deepcache(iv, int(parts[1]) if len(parts) > 1 else 1)
     T = args.num_steps or int(opt["model"]["beta_schedule"]["val"]["n_timestep"])
     model.current_T = T
     model.schedule_phase = f"predict_{T}"

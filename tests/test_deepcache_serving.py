@@ -96,6 +96,19 @@ def test_joint_indi_deepcache_serving(tmp_path):
     assert np.isfinite(fast).all()
 
 
+def test_auto_interval(tmp_path):
+    """interval: 'auto' resolves from the chain length (round-3 span rule:
+    clamp(round(0.4 T), 1, 5)) — T=4 val schedule → interval 2."""
+    model = DiffusionModel(_sr3_opt(tmp_path, {"interval": "auto"}), seed=0)
+    assert model.deepcache == ("auto", 1)
+    model.set_new_noise_schedule(model.opt["model"]["beta_schedule"]["val"], "val")
+    assert model._dc_interval(model.current_sched.num_timesteps) == 2
+    assert model._dc_interval(2000) == 5
+    model.feed_data({"input": synth_batch(b=1, in_ch=1, out_ch=1)["input"]})
+    out = np.asarray(model.test(continuous=False))
+    assert np.isfinite(out).all()
+
+
 def test_continuous_falls_back_to_exact_chain(tmp_path):
     """Trajectory requests can't ride the cache — they must still work."""
     model = DiffusionModel(_sr3_opt(tmp_path, {"interval": 5}), seed=0)

@@ -135,6 +135,27 @@ def test_time_predictor_dataset(synth):
     assert set(ds.input_normalization_dict.keys()) == set(range(101))
 
 
+def test_time_predictor_raw_mixture_inputs(synth):
+    """raw_mixture_inputs=True returns the plain normalized t-mixture — the
+    exact input the t-refinement workflow serves (no per-t min-max)."""
+    ds = TimePredictorDataset(
+        "Hagen", DataLocation(channelwise_fpath=("a", "b")), 32,
+        max_qval=1.0, enable_transforms=False, random_patching=False,
+        raw_mixture_inputs=True,
+    )
+    ds._rng = np.random.default_rng(0)
+    inp, t = ds[0]
+    # reconstruct the mixture by hand from the same location + t
+    fidx, h, w = ds._get_location(0)
+    P = 32
+    tgt = np.concatenate(
+        [np.asarray(ds._data_dict[c][fidx][h:h + P, w:w + P])[..., None]
+         for c in (0, 1)], axis=-1).astype(np.float32)
+    tgt = ds.normalize_target(tgt)
+    want = float(t) * tgt[..., 0:1] + (1 - float(t)) * tgt[..., 1:2]
+    np.testing.assert_allclose(inp, want, rtol=1e-4, atol=1e-6)  # f32 vs f64 t
+
+
 def test_time_predictor_minmax_exact(synth):
     """Per-t min/max must equal a brute-force pixelwise scan."""
     ds = TimePredictorDataset(

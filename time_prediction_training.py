@@ -36,6 +36,10 @@ def get_datasets(opt):
     channel_weights = dsets.get("channel_weights")
     upper_clip = bool(dsets.get("upper_clip", False))
     gaussian_noise = dsets["train"].get("gaussian_noise_std_factor")
+    # opt-in: train on raw normalized mixtures (the exact serving input of
+    # the t-refinement workflow) instead of the reference's per-t min-max
+    # rescale — fixes the measured train/serve mismatch (BENCH_NOTES round 3)
+    raw_mixture = bool(dsets["train"].get("raw_mixture_inputs", False))
 
     train_loc = DataLocation(
         channelwise_fpath=(dsets["train"]["datapath"]["ch0"], dsets["train"]["datapath"]["ch1"])
@@ -50,6 +54,7 @@ def get_datasets(opt):
         uncorrelated_channels=bool(dsets["train"].get("uncorrelated_channels", False)),
         enable_transforms=True, random_patching=True,
         gaussian_noise_std_factor=gaussian_noise,
+        raw_mixture_inputs=raw_mixture,
     )
     val_set = TimePredictorDataset(
         "Hagen", val_loc, patch_size,
@@ -57,6 +62,7 @@ def get_datasets(opt):
         max_qval=max_qval, upper_clip=upper_clip,
         channel_weights=channel_weights,
         enable_transforms=False, random_patching=False,
+        raw_mixture_inputs=raw_mixture,
     )
     return train_set, val_set
 
