@@ -156,3 +156,162 @@ def test_ddpm_parallel_unconditional_and_tol(rng):
     )
     assert out.shape == (2, 8, 8, 2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+
+# ------------------------------------------------- sliding-window (ParaDiGMS)
+def _ddpm_setup(rng, T=12, conditional=True):
+    from diffsplitting_tpu.diffusion import DDPMProcess, build_ddpm_schedule
+
+    sched = build_ddpm_schedule(
+        {"schedule": "linear", "n_timestep": T, "linear_start": 1e-4, "linear_end": 2e-2}
+    )
+    proc = DDPMProcess(image_size=8, channels=1, conditional=conditional)
+    cond = jax.random.normal(rng, (2, 8, 8, 1))
+    denoise = lambda x, t: 0.3 * jnp.tanh(x[..., -1:])  # noqa: E731
+    return proc, sched, cond, denoise
+
+
+def _ddpm_sequential_foldin(proc, sched, denoise, rng, cond, T):
+    """Sequential chain with the sliding-window sampler's own noise layout
+    (init from split(rng)[1], step-k noise from fold_in(split(rng)[0], k))."""
+    r, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, cond.shape[:-1] + (proc.channels,), cond.dtype)
+    for k, ti in enumerate(range(T - 1, -1, -1)):
+        t_vec = jnp.full((cond.shape[0],), ti, jnp.int32)
+        eps = denoise(jnp.concatenate([cond, x], -1), t_vec.astype(jnp.float32))
+        x0 = jnp.clip(proc.predict_start_from_noise(sched, x, t_vec, eps), -1, 1)
+        mean, _, logvar = proc.q_posterior(sched, x0, x, t_vec)
+        mask = 1.0 if ti > 0 else 0.0
+        x = mean + mask * jnp.exp(0.5 * logvar) * jax.random.normal(
+            jax.random.fold_in(r, k), x.shape, x.dtype
+        )
+    return np.asarray(x)
+
+
+def test_sliding_window_w1_is_sequential(rng):
+    """W=1, tau=0 IS the sequential frozen-noise chain — bit-level semantics."""
+    from diffsplitting_tpu.diffusion.parallel_sampling import (
+        ddpm_sample_sliding_window,
+    )
+
+    T = 12
+    proc, sched, cond, denoise = _ddpm_setup(rng, T)
+    seq = _ddpm_sequential_foldin(proc, sched, denoise, rng, cond, T)
+    out, sweeps = ddpm_sample_sliding_window(
+        proc, denoise, sched, rng, cond, window=1, tau=0.0
+    )
+    assert int(sweeps) == T
+    np.testing.assert_allclose(np.asarray(out), seq, rtol=1e-4, atol=1e-5)
+
+
+def test_sliding_window_exact_any_window(rng):
+    """tau=0 forces advance=1/sweep: any window width reproduces W=1 exactly."""
+    from diffsplitting_tpu.diffusion.parallel_sampling import (
+        ddpm_sample_sliding_window,
+    )
+
+    T = 12
+    proc, sched, cond, denoise = _ddpm_setup(rng, T)
+    ref, _ = ddpm_sample_sliding_window(
+        proc, denoise, sched, rng, cond, window=1, tau=0.0
+    )
+    for W in (4, 7, 16):  # incl. W > T
+        out, sweeps = ddpm_sample_sliding_window(
+            proc, denoise, sched, rng, cond, window=W, tau=0.0
+        )
+        assert int(sweeps) == T
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_sliding_window_tau_reduces_sweeps(rng):
+    """A loose tolerance must advance faster than 1 step/sweep and stay close
+    to the exact chain (per-step drift bounded by tau·sigma²)."""
+    from diffsplitting_tpu.diffusion.parallel_sampling import (
+        ddpm_sample_sliding_window,
+    )
+
+    from diffsplitting_tpu.diffusion import DDPMProcess, build_ddpm_schedule
+
+    # the toy needs a genuinely contracting chain to converge mid-window: a
+    # big-beta schedule (posterior variance, and hence the tolerance scale,
+    # O(0.1)) + an eps=x denoiser whose x0 prediction is stable (~0)
+    T = 24
+    sched = build_ddpm_schedule(
+        {"schedule": "linear", "n_timestep": T, "linear_start": 0.05, "linear_end": 0.4}
+    )
+    proc = DDPMProcess(image_size=8, channels=1, conditional=True)
+    cond = jax.random.normal(rng, (2, 8, 8, 1))
+    denoise = lambda x, t: x[..., -1:]  # noqa: E731
+    ref, sweeps_exact = ddpm_sample_sliding_window(
+        proc, denoise, sched, rng, cond, window=8, tau=0.0
+    )
+    out, sweeps = ddpm_sample_sliding_window(
+        proc, denoise, sched, rng, cond, window=8, tau=0.1
+    )
+    assert int(sweeps_exact) == T
+    assert int(sweeps) < T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.25)
+
+
+def test_sliding_window_unconditional(rng):
+    from diffsplitting_tpu.diffusion.parallel_sampling import (
+        ddpm_sample_sliding_window,
+    )
+
+    proc, sched, _, _ = _ddpm_setup(rng, T=8, conditional=False)
+    denoise = lambda x, t: 0.1 * jnp.tanh(x)  # noqa: E731
+    out, sweeps = ddpm_sample_sliding_window(
+        proc, denoise, sched, rng, (2, 8, 8, 1), window=4, tau=0.0
+    )
+    assert out.shape == (2, 8, 8, 1)
+    assert int(sweeps) == 8
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sliding_window_jittable(rng):
+    from diffsplitting_tpu.diffusion.parallel_sampling import (
+        ddpm_sample_sliding_window,
+    )
+
+    proc, sched, cond, denoise = _ddpm_setup(rng, T=10)
+    f = jax.jit(
+        lambda r, c: ddpm_sample_sliding_window(
+            proc, denoise, sched, r, c, window=4, tau=0.1
+        )
+    )
+    out, sweeps = f(rng, cond)
+    ref, _ = ddpm_sample_sliding_window(
+        proc, denoise, sched, rng, cond, window=4, tau=0.1
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_indi_sliding_window_exact_and_tol(rng):
+    from diffsplitting_tpu.diffusion.parallel_sampling import (
+        indi_inference_sliding_window,
+    )
+
+    proc = make_proc(e=0.3)
+    denoise = lambda x, t: jnp.tanh(x)  # noqa: E731
+    x_in = jax.random.normal(rng, (1, 8, 8, 1))
+    N = 10
+    ref, sweeps1 = indi_inference_sliding_window(
+        proc, denoise, rng, x_in, num_timesteps=N, window=1, tau=0.0
+    )
+    assert int(sweeps1) == N
+    for W in (3, 12):
+        out, sweeps = indi_inference_sliding_window(
+            proc, denoise, rng, x_in, num_timesteps=N, window=W, tau=0.0
+        )
+        assert int(sweeps) == N
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+    out, sweeps = indi_inference_sliding_window(
+        proc, denoise, rng, x_in, num_timesteps=N, window=5, tau=1.0
+    )
+    assert int(sweeps) < N
+    # approximate mode: bounded drift from the exact chain (tol ∝ tau·σ²)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.5)
