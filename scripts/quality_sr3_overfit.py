@@ -126,6 +126,12 @@ def main():
                     help="track an EMA of the params at this decay and sample "
                          "from it (long overfits without EMA degrade: the "
                          "40k-iter no-EMA run sampled 15.3dB vs 19.2dB at 4k)")
+    ap.add_argument("--resume_from", type=int, default=0,
+                    help="continue training from I{N}_E0 in the workdir "
+                         "(restores params+opt state+EMA) up to --iters")
+    ap.add_argument("--save_every", type=int, default=0,
+                    help="also checkpoint every N iters during training "
+                         "(long runs: a sampler crash must not lose hours)")
     args = ap.parse_args()
 
     import jax
@@ -152,9 +158,16 @@ def main():
                      remat=args.remat, bf16=args.bf16, ema=args.ema)
     ckpt_prefix = os.path.join(f"{args.workdir}/ckpt", f"I{args.iters}_E0")
     resume = os.path.isdir(f"{ckpt_prefix}_gen")
+    start_iter = 0
     if resume:
         print("resuming trained model from", ckpt_prefix, flush=True)
         opt0["path"]["resume_state"] = ckpt_prefix
+    elif args.resume_from > 0:
+        prev = os.path.join(f"{args.workdir}/ckpt", f"I{args.resume_from}_E0")
+        assert os.path.isdir(prev + "_gen"), f"no checkpoint at {prev}"
+        print("continuing training from", prev, flush=True)
+        opt0["path"]["resume_state"] = prev
+        start_iter = args.resume_from
     model = DiffusionModel(opt0)
     n = batch_np["input"].shape[0]
     bs = args.batch if args.batch > 0 else n
@@ -176,7 +189,7 @@ def main():
         take = jax.jit(
             lambda d, i: jax.tree_util.tree_map(lambda a: jnp.take(a, i, axis=0), d)
         )
-    for it in range(1, (0 if resume else args.iters) + 1):
+    for it in range(start_iter + 1, (start_iter if resume else args.iters) + 1):
         if bs >= n:
             mb = batch_np
         else:
@@ -189,6 +202,8 @@ def main():
             losses.append((it, float(log["l_pix"])))
             print(f"iter {it}: l_pix={losses[-1][1]:.5f} "
                   f"({(time.perf_counter()-t0):.0f}s)", flush=True)
+        if args.save_every and it % args.save_every == 0 and it < args.iters:
+            model.save_network(epoch=0, iter_step=it)
 
     # checkpoint BEFORE sampling: a sampler-compile crash must not lose the
     # training (the first 64->512 attempt died in the 512d sampler compile —
