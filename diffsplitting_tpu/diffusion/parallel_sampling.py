@@ -112,8 +112,14 @@ def ddpm_sample_parallel(
     condition_x=None,
     num_sweeps: Optional[int] = None,
     tol: float = 1e-3,
+    t_cond: Optional[Callable] = None,
 ):
     """Parallel-in-time DDPM/SR3-style ancestral sampling.
+
+    `t_cond` maps the (K,) int32 timestep vector to the per-step conditioning
+    the denoiser expects — default raw t as float32 (DDPM nets,
+    ddpm.py:91); SR3 nets need the noise level
+    `sched.sqrt_alphas_cumprod_prev[t + 1]` (sr3.py:60).
 
     The ancestral chain x_{t-1} = μθ(x_t, t) + σ_t·ε_t with FROZEN per-step
     noises ε_t is a deterministic map once the ε are drawn, so the Picard
@@ -126,6 +132,8 @@ def ddpm_sample_parallel(
     noise shape source. Returns the final image (B, H, W, C).
     """
     T = sched.num_timesteps
+    if t_cond is None:
+        t_cond = lambda t: t.astype(jnp.float32)  # noqa: E731
     rng, init_rng = jax.random.split(rng)
     if process.conditional:
         cond = x_in if condition_x is None else condition_x
@@ -148,13 +156,13 @@ def ddpm_sample_parallel(
     def sweep(X):
         xs = X[:-1]  # (T, B, H, W, C)
         flat = xs.reshape((T * b,) + xs.shape[2:])
-        t_flat = jnp.repeat(ts, b)
+        tc_flat = jnp.repeat(t_cond(ts), b)
         if cond is not None:
             cond_flat = jnp.tile(cond, (T, 1, 1, 1))
             net_in = jnp.concatenate([cond_flat, flat], axis=-1)
         else:
             net_in = flat
-        eps = denoise_fn(net_in, t_flat.astype(jnp.float32)).reshape(xs.shape)
+        eps = denoise_fn(net_in, tc_flat).reshape(xs.shape)
         x0 = (
             sched.sqrt_recip_alphas_cumprod[ts].reshape(T, 1, 1, 1, 1) * xs
             - sched.sqrt_recipm1_alphas_cumprod[ts].reshape(T, 1, 1, 1, 1) * eps
@@ -263,6 +271,7 @@ def ddpm_sample_sliding_window(
     tau: float = 0.1,
     clip_denoised: bool = True,
     condition_x=None,
+    t_cond: Optional[Callable] = None,
 ):
     """Sliding-window parallel ancestral sampling (DDPM/SR3 reverse chain).
 
@@ -273,9 +282,16 @@ def ddpm_sample_sliding_window(
     sweeps. Intended regime: low-batch serving, where a B-image forward
     leaves the chip idle and the (W·B)-image sweep fills it.
 
+    `t_cond` maps the (W,) int32 timestep vector to the denoiser's per-step
+    conditioning — default raw t as float32 (DDPM nets, ddpm.py:91); SR3
+    nets need the noise level `sched.sqrt_alphas_cumprod_prev[t + 1]`
+    (sr3.py:60).
+
     Returns (img (B, H, W, C), sweeps).
     """
     T = sched.num_timesteps
+    if t_cond is None:
+        t_cond = lambda t: t.astype(jnp.float32)  # noqa: E731
     rng, init_rng = jax.random.split(rng)
     if process.conditional:
         cond = x_in if condition_x is None else condition_x
@@ -297,9 +313,9 @@ def ddpm_sample_sliding_window(
     def step_window(xs, gidx):
         t = ts_all[gidx]  # (W,)
         flat = xs.reshape((W * b,) + xs.shape[2:])
-        t_flat = jnp.repeat(t, b)
+        tc_flat = jnp.repeat(t_cond(t), b)
         net_in = flat if cond is None else jnp.concatenate([cond_w, flat], axis=-1)
-        eps = denoise_fn(net_in, t_flat.astype(jnp.float32)).reshape(xs.shape)
+        eps = denoise_fn(net_in, tc_flat).reshape(xs.shape)
         r = lambda v: v[t].reshape(W, 1, 1, 1, 1)  # noqa: E731
         x0 = r(sched.sqrt_recip_alphas_cumprod) * xs - r(sched.sqrt_recipm1_alphas_cumprod) * eps
         if clip_denoised:

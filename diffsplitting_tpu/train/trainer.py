@@ -147,6 +147,19 @@ class DiffusionModel:
                               int(dc_opt.get("depth") or 1))
         self._warned_dc_continuous = False
 
+        # ---------------- sliding-window Picard serving mode (opt-in;
+        # latency lever for LOW-BATCH requests: W consecutive timesteps
+        # batch as one (W·B) forward, advance is tolerance-gated —
+        # diffusion/parallel_sampling.py. Config: model.sliding_window:
+        # {window: W, tau: x}; tau=0 is the frozen-noise sequential chain.
+        sw_opt = opt["model"].get("sliding_window") or {}
+        self.sliding_window = None
+        self.last_sliding_sweeps = None
+        if sw_opt.get("window"):
+            _tau = sw_opt.get("tau")
+            self.sliding_window = (int(sw_opt["window"]),
+                                   0.1 if _tau is None else float(_tau))
+
         # model.sampler_chunk: K>0 runs conditional sr3/ddpm test() as
         # ⌈T/K⌉ jitted K-step scan chunks + host loop — bit-identical to the
         # single scan, for shapes whose full-T program breaks the compiler
@@ -381,6 +394,27 @@ class DiffusionModel:
             self.deepcache = None
         self._infer_cache.clear()
 
+    def set_sliding_window(self, window, tau: float = 0.1):
+        """Toggle sliding-window Picard serving at runtime (CLI surfaces).
+
+        `window=None`/`0` restores the default sampler; window ≥ 1 routes
+        test()/sample() through the windowed parallel sampler
+        (parallel_sampling.py). tau=0 reproduces the frozen-noise
+        sequential chain exactly; tau>0 advances past converged steps.
+        Mutually exclusive with DeepCache (different chain semantics).
+        """
+        self.sliding_window = (int(window), float(tau)) if window else None
+        self._infer_cache.clear()
+
+    def _sliding_window_active(self, kind, continuous) -> bool:
+        if self.sliding_window is None or kind not in ("test", "sample"):
+            return False
+        if continuous:
+            return False  # windowed loop keeps no trajectory frames
+        if self.which in ("ddpm", "sr3") and not self.process.conditional:
+            return kind == "sample"
+        return kind == "test"
+
     def _dc_interval(self, T: int) -> int:
         """Resolve the refresh interval for a T-step chain.
 
@@ -420,16 +454,29 @@ class DiffusionModel:
             self.current_sched.num_timesteps
         )
         use_dc = self._deepcache_active(kind, continuous)
+        use_sw = self._sliding_window_active(kind, continuous)
+        if use_sw and use_dc:
+            raise ValueError(
+                "model.sliding_window and model.deepcache are mutually "
+                "exclusive serving modes — unset one (set_deepcache(None) / "
+                "set_sliding_window(None))"
+            )
         chunkable = (
             self.sampler_chunk > 0 and not continuous and kind == "test"
             and self.which in ("ddpm", "sr3") and self.process.conditional
         )
-        use_chunk = chunkable and not use_dc
+        use_chunk = chunkable and not use_dc and not use_sw
         key = (kind, shape, self.schedule_phase, T_key, continuous, extra,
                clip_denoised, self.deepcache if use_dc else None,
-               self.sampler_chunk if (use_chunk or (use_dc and chunkable)) else 0)
+               self.sampler_chunk if (use_chunk or (use_dc and chunkable)) else 0,
+               self.sliding_window if use_sw else None)
         if key in self._infer_cache:
             return self._infer_cache[key]
+        if use_sw:
+            fn = self._build_sliding_window_fn(extra, clip_denoised,
+                                               kind=kind, shape=shape)
+            self._infer_cache[key] = fn
+            return fn
         if use_dc:
             if chunkable:
                 # DeepCache + chunked scans compose: the cache rides the
@@ -604,6 +651,70 @@ class DiffusionModel:
                 interval=interval, clip_denoised=clip_denoised,
                 chunk_size=chunk,
             )
+
+        return fn
+
+    def _build_sliding_window_fn(self, extra, clip_denoised, kind="test",
+                                 shape=None):
+        """Windowed-Picard variant of _infer_fn's closures (low-batch
+        latency serving; diffusion/parallel_sampling.py). Params stay jit
+        arguments (EMA weights work; tunnel payload limit, CLAUDE.md).
+        Stores the sweep count on self.last_sliding_sweeps after each call
+        (T / sweeps = average advance per sweep)."""
+        from diffsplitting_tpu.diffusion.parallel_sampling import (
+            ddpm_sample_sliding_window,
+            indi_inference_sliding_window,
+        )
+
+        W, tau = self.sliding_window
+        process, which = self.process, self.which
+
+        if which in ("indi", "joint_indi"):
+            T = self.current_T
+            t_start = extra if extra is not None else (
+                0.5 if which == "joint_indi" else 1.0
+            )
+            if which == "joint_indi":
+                def raw(params, x_in, rng):
+                    d1 = lambda x, t: self._apply("net_ch1", params, x, t)
+                    d2 = lambda x, t: self._apply("net_ch2", params, x, t)
+                    rng1, rng2 = jax.random.split(rng)
+                    ch1, s1 = indi_inference_sliding_window(
+                        process.indi1, d1, rng1, x_in, num_timesteps=T,
+                        t_float_start=t_start, window=W, tau=tau)
+                    ch2, s2 = indi_inference_sliding_window(
+                        process.indi2, d2, rng2, x_in, num_timesteps=T,
+                        t_float_start=1 - t_start, window=W, tau=tau)
+                    return jnp.concatenate([ch1, ch2], axis=-1), s1 + s2
+            else:
+                def raw(params, x_in, rng):
+                    d = lambda x, t: self._apply("net", params, x, t)
+                    return indi_inference_sliding_window(
+                        process, d, rng, x_in, num_timesteps=T,
+                        t_float_start=t_start, window=W, tau=tau)
+        else:  # sr3/ddpm reverse chain
+            sched = self.current_sched
+            x_src = shape if kind == "sample" else None
+            # SR3 nets condition on the noise level, not raw t (sr3.py:60)
+            t_cond = (
+                (lambda t: sched.sqrt_alphas_cumprod_prev[t + 1])
+                if which == "sr3" else None
+            )
+
+            def raw(params, x_in, rng):
+                d = lambda x, t: self._apply("net", params, x, t)
+                return ddpm_sample_sliding_window(
+                    process, d, sched, rng,
+                    x_src if x_src is not None else x_in,
+                    window=W, tau=tau, clip_denoised=clip_denoised,
+                    t_cond=t_cond)
+
+        jfn = jax.jit(raw)
+
+        def fn(params, x_in, rng):
+            img, sweeps = jfn(params, x_in, rng)
+            self.last_sliding_sweeps = int(sweeps)
+            return img
 
         return fn
 

@@ -36,6 +36,12 @@ def main():
                         help="DeepCache serving (full refresh every K steps, "
                              "split depth D). Final frames only — the "
                              "*_sr_process.png trajectory grid is skipped.")
+    parser.add_argument("--sliding_window", type=str, default=None,
+                        metavar="W[,TAU]",
+                        help="sliding-window Picard serving (W-step window "
+                             "batched per sweep, TAU-gated advance; default "
+                             "TAU 0.1, 0 = exact frozen-noise chain). Final "
+                             "frames only; exclusive with --deepcache.")
     args = parser.parse_args()
 
     opt = Logger.parse(args)
@@ -62,6 +68,10 @@ def main():
         iv = parts[0] if parts[0] == "auto" else int(parts[0])
         deepcache = (iv, int(parts[1]) if len(parts) > 1 else 1)
         diffusion.set_deepcache(*deepcache)
+    if args.sliding_window:
+        parts = args.sliding_window.split(",")
+        diffusion.set_sliding_window(
+            int(parts[0]), float(parts[1]) if len(parts) > 1 else 0.1)
 
     logger.info("Begin Model Inference.")
     current_step, idx = 0, 0
@@ -72,15 +82,16 @@ def main():
         idx += 1
         batch = {"input": val_data["SR"], "target": val_data["HR"]}
         diffusion.feed_data(batch)
-        # deepcache's scan-carry cache yields final frames only — no
-        # trajectory grid in that mode
-        diffusion.test(continuous=deepcache is None)
+        # deepcache's scan-carry cache and the windowed Picard loop yield
+        # final frames only — no trajectory grid in those modes
+        final_only = deepcache is not None or args.sliding_window
+        diffusion.test(continuous=not final_only)
         visuals = diffusion.get_current_visuals(need_LR=False)
 
         hr_img = tensor2img(visuals["target"])
         fake_img = tensor2img(visuals["input"])  # the bicubic-upsampled condition
 
-        if deepcache is None:
+        if not final_only:
             frames = visuals["prediction"]  # (n_frames, B, H, W, C)
             grid = tensor2img(frames.reshape((-1,) + frames.shape[2:]))
             save_img(_hwc(grid), f"{result_path}/{current_step}_{idx}_sr_process.png")

@@ -52,6 +52,14 @@ def main():
                     help="DeepCache serving: full UNet refresh every K steps, "
                          "shallow-only in between (split depth D, default 1). "
                          "Measured 1.58x at 5,1 on v5e; exact chain if unset.")
+    ap.add_argument("--sliding_window", type=str, default=None,
+                    metavar="W[,TAU]",
+                    help="sliding-window Picard serving (ParaDiGMS): W "
+                         "consecutive timesteps batched as one (W*B) "
+                         "forward, advance gated at TAU*sigma_t^2 per pixel "
+                         "(default 0.1; 0 = exact frozen-noise chain). "
+                         "Low-batch latency lever; exclusive with "
+                         "--deepcache.")
     ap.add_argument("--png_preview", action="store_true")
     args = ap.parse_args()
 
@@ -91,6 +99,10 @@ def main():
         parts = args.deepcache.split(",")
         iv = parts[0] if parts[0] == "auto" else int(parts[0])
         model.set_deepcache(iv, int(parts[1]) if len(parts) > 1 else 1)
+    if args.sliding_window:
+        parts = args.sliding_window.split(",")
+        model.set_sliding_window(
+            int(parts[0]), float(parts[1]) if len(parts) > 1 else 0.1)
     T = args.num_steps or int(opt["model"]["beta_schedule"]["val"]["n_timestep"])
     model.current_T = T
     model.schedule_phase = f"predict_{T}"

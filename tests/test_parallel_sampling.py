@@ -288,6 +288,47 @@ def test_sliding_window_jittable(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
+def test_sliding_window_sr3_noise_level_conditioning(rng):
+    """SR3 nets condition on √ᾱ_{t+1}, not raw t (sr3.py:60): with the
+    `t_cond` hook the windowed chain must match a sequential fold_in chain
+    that feeds the denoiser the noise level."""
+    from diffsplitting_tpu.diffusion import SR3Process, build_ddpm_schedule
+    from diffsplitting_tpu.diffusion.parallel_sampling import (
+        ddpm_sample_sliding_window,
+    )
+
+    T = 10
+    sched = build_ddpm_schedule(
+        {"schedule": "linear", "n_timestep": T, "linear_start": 1e-4, "linear_end": 2e-2}
+    )
+    proc = SR3Process(image_size=8, channels=1, conditional=True)
+    cond = jax.random.normal(rng, (2, 8, 8, 1))
+    # conditioning-sensitive denoiser: wrong t-argument → wrong output
+    denoise = lambda x, lvl: 0.3 * jnp.tanh(x[..., -1:]) * lvl[:, None, None, None]  # noqa: E731
+    t_cond = lambda t: sched.sqrt_alphas_cumprod_prev[t + 1]  # noqa: E731
+
+    # sequential chain with the windowed sampler's noise layout but the
+    # reference SR3 conditioning
+    r, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, (2, 8, 8, 1), cond.dtype)
+    for k, ti in enumerate(range(T - 1, -1, -1)):
+        lvl = jnp.full((2,), sched.sqrt_alphas_cumprod_prev[ti + 1], x.dtype)
+        eps = denoise(jnp.concatenate([cond, x], -1), lvl)
+        # SR3Process uses scalar-t indexing (sr3.py:49-57)
+        x0 = jnp.clip(proc.predict_start_from_noise(sched, x, ti, eps), -1, 1)
+        mean, logvar = proc.q_posterior(sched, x0, x, ti)
+        mask = 1.0 if ti > 0 else 0.0
+        x = mean + mask * jnp.exp(0.5 * logvar) * jax.random.normal(
+            jax.random.fold_in(r, k), x.shape, x.dtype
+        )
+
+    out, sweeps = ddpm_sample_sliding_window(
+        proc, denoise, sched, rng, cond, window=4, tau=0.0, t_cond=t_cond
+    )
+    assert int(sweeps) == T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-4, atol=1e-5)
+
+
 def test_indi_sliding_window_exact_and_tol(rng):
     from diffsplitting_tpu.diffusion.parallel_sampling import (
         indi_inference_sliding_window,
