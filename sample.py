@@ -28,6 +28,17 @@ def main():
     parser.add_argument("-enable_wandb", action="store_true")
     parser.add_argument("-log_wandb_ckpt", action="store_true")
     parser.add_argument("-rootdir", type=str, default=None)
+    parser.add_argument("--deepcache", type=str, default=None, metavar="K[,D]",
+                        help="DeepCache serving for val-phase generation "
+                             "(full UNet refresh every K steps, split depth "
+                             "D). Final frames only — the *_sample_process "
+                             "grid is skipped.")
+    parser.add_argument("--sliding_window", type=str, default=None,
+                        metavar="W[,TAU]",
+                        help="sliding-window Picard serving for val-phase "
+                             "generation (default TAU 0.1; 0 = exact "
+                             "frozen-noise chain). Final frames only; "
+                             "exclusive with --deepcache.")
     args = parser.parse_args()
 
     opt = Logger.parse(args)
@@ -47,6 +58,15 @@ def main():
 
     diffusion = create_model(opt)
     logger.info("Initial Model Finished")
+    accel = bool(args.deepcache or args.sliding_window)
+    if args.deepcache:
+        parts = args.deepcache.split(",")
+        iv = parts[0] if parts[0] == "auto" else int(parts[0])
+        diffusion.set_deepcache(iv, int(parts[1]) if len(parts) > 1 else 1)
+    if args.sliding_window:
+        parts = args.sliding_window.split(",")
+        diffusion.set_sliding_window(
+            int(parts[0]), float(parts[1]) if len(parts) > 1 else 0.1)
 
     current_step = diffusion.begin_step
     current_epoch = diffusion.begin_epoch
@@ -109,12 +129,17 @@ def main():
         os.makedirs(result_path, exist_ok=True)
         sample_imgs = []
         for idx in range(1, sample_sum + 1):
-            diffusion.sample(continuous=True)
+            # accelerated samplers yield final frames only (no trajectory)
+            diffusion.sample(continuous=not accel)
             visuals = diffusion.get_current_visuals(sample=True)
-            frames = visuals["SAM"]  # (n_frames, B, H, W, C)
-            grid = tensor2img(frames.reshape((-1,) + frames.shape[2:]))
-            save_img(_hwc(grid), f"{result_path}/{current_step}_{idx}_sample_process.png")
-            final = tensor2img(frames[-1])
+            if accel:
+                final = tensor2img(visuals["SAM"])
+            else:
+                frames = visuals["SAM"]  # (n_frames, B, H, W, C)
+                grid = tensor2img(frames.reshape((-1,) + frames.shape[2:]))
+                save_img(_hwc(grid),
+                         f"{result_path}/{current_step}_{idx}_sample_process.png")
+                final = tensor2img(frames[-1])
             save_img(_hwc(final), f"{result_path}/{current_step}_{idx}_sample.png")
             sample_imgs.append(final)
         if wandb_logger:

@@ -57,6 +57,18 @@ def test_sample_cli_train_and_generate(lrhr_root, tmp_path):
     pngs = list((tmp_path / "exp").rglob("results/**/*.png"))
     assert pngs, "sampling validation must dump generated pngs"
 
+    # val phase through the sliding-window serving mode: final frames only
+    cfg["phase"] = "val"
+    cfg_path.write_text(json.dumps(cfg))
+    val_root = tmp_path / "exp_sw"
+    res = run_cli("sample.py", ["-p", "val", "-c", str(cfg_path),
+                                "-rootdir", str(val_root),
+                                "--sliding_window", "4,0.0"], cwd=repo)
+    assert res.returncode == 0, res.stderr[-3000:]
+    finals = list(val_root.rglob("results/**/*_sample.png"))
+    assert finals, "windowed val sampling must dump final pngs"
+    assert not list(val_root.rglob("results/**/*_sample_process.png"))
+
 
 def test_evaluate_joint_indi_script(tmp_path):
     """The tiled joint-InDI eval script runs end-to-end on synthetic data."""
