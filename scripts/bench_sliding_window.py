@@ -100,9 +100,15 @@ def main():
     results = {"batch": b, "T": T, "sequential_s": seq_s,
                "sequential_steps_per_s": T / seq_s, "rows": []}
 
+    # SR3 nets condition on the noise level, not raw t (sr3.py:60)
+    t_cond = (
+        (lambda t: sched.sqrt_alphas_cumprod_prev[t + 1])
+        if opt["model"]["which_model_G"] == "sr3" else None
+    )
     sw = jax.jit(
         lambda p, r, c, W, tau: ddpm_sample_sliding_window(
-            process, lambda x, t: dn(p, x, t), sched, r, c, window=W, tau=tau
+            process, lambda x, t: dn(p, x, t), sched, r, c, window=W, tau=tau,
+            t_cond=t_cond,
         ),
         static_argnums=(3,),
     )
