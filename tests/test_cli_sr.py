@@ -91,3 +91,13 @@ def test_infer_cli(lrhr_root, tmp_path):
     assert any("hr.png" in n for n in names)
     assert any("inf.png" in n for n in names)
     assert any("sr_process" in n for n in names)
+
+    # sliding-window serving mode: final frames only, no trajectory grid
+    sw_root = tmp_path / "exp_sw"
+    res = run_cli("infer.py", ["-c", str(cfg_path), "-rootdir", str(sw_root),
+                               "--sliding_window", "4,0.0"], cwd=repo)
+    assert res.returncode == 0, res.stderr[-3000:]
+    sw_results = list(sw_root.rglob("results/*.png"))
+    sw_names = {p.name.split("_", 2)[-1] for p in sw_results}
+    assert any("sr.png" in n for n in sw_names)
+    assert not any("sr_process" in n for n in sw_names)
