@@ -160,6 +160,18 @@ class DiffusionModel:
             self.sliding_window = (int(sw_opt["window"]),
                                    0.1 if _tau is None else float(_tau))
 
+        # ---------------- respaced DDIM serving mode (opt-in; the largest
+        # serving lever for long ddpm/sr3 chains: S ≪ T steps through the
+        # same trained net — diffusion/ddim.py. Config: model.ddim:
+        # {steps: S, eta: η}; η=0 deterministic (default), η=1 over the
+        # full sequence reproduces the ancestral chain's math.
+        dd_opt = opt["model"].get("ddim") or {}
+        self.ddim = None
+        if dd_opt.get("steps"):
+            _eta = dd_opt.get("eta")
+            self.ddim = (int(dd_opt["steps"]),
+                         0.0 if _eta is None else float(_eta))
+
         # model.sampler_chunk: K>0 runs conditional sr3/ddpm test() as
         # ⌈T/K⌉ jitted K-step scan chunks + host loop — bit-identical to the
         # single scan, for shapes whose full-T program breaks the compiler
@@ -415,6 +427,28 @@ class DiffusionModel:
             return kind == "sample"
         return kind == "test"
 
+    def set_ddim(self, steps, eta: float = 0.0):
+        """Toggle respaced DDIM serving at runtime (CLI surfaces).
+
+        `steps=None`/`0` restores the exact ancestral chain; steps=S runs
+        the reverse process as S respaced DDIM steps (diffusion/ddim.py) —
+        ddpm/sr3 families only (InDI natively supports any step budget via
+        num_timesteps). Mutually exclusive with DeepCache / sliding-window.
+        """
+        self.ddim = (int(steps), float(eta)) if steps else None
+        self._infer_cache.clear()
+
+    def _ddim_active(self, kind, continuous) -> bool:
+        if self.ddim is None or kind not in ("test", "sample"):
+            return False
+        if continuous:
+            return False  # DDIM loop keeps no trajectory frames
+        if self.which not in ("ddpm", "sr3"):
+            return False  # InDI respaces natively via num_timesteps
+        if not self.process.conditional:
+            return kind == "sample"
+        return kind == "test"
+
     def _dc_interval(self, T: int) -> int:
         """Resolve the refresh interval for a T-step chain.
 
@@ -455,23 +489,30 @@ class DiffusionModel:
         )
         use_dc = self._deepcache_active(kind, continuous)
         use_sw = self._sliding_window_active(kind, continuous)
-        if use_sw and use_dc:
+        use_dd = self._ddim_active(kind, continuous)
+        if sum((use_sw, use_dc, use_dd)) > 1:
             raise ValueError(
-                "model.sliding_window and model.deepcache are mutually "
-                "exclusive serving modes — unset one (set_deepcache(None) / "
-                "set_sliding_window(None))"
+                "model.deepcache / model.sliding_window / model.ddim are "
+                "mutually exclusive serving modes — unset all but one "
+                "(set_deepcache(None) / set_sliding_window(None) / "
+                "set_ddim(None))"
             )
         chunkable = (
             self.sampler_chunk > 0 and not continuous and kind == "test"
             and self.which in ("ddpm", "sr3") and self.process.conditional
         )
-        use_chunk = chunkable and not use_dc and not use_sw
+        use_chunk = chunkable and not use_dc and not use_sw and not use_dd
         key = (kind, shape, self.schedule_phase, T_key, continuous, extra,
                clip_denoised, self.deepcache if use_dc else None,
                self.sampler_chunk if (use_chunk or (use_dc and chunkable)) else 0,
-               self.sliding_window if use_sw else None)
+               self.sliding_window if use_sw else None,
+               self.ddim if use_dd else None)
         if key in self._infer_cache:
             return self._infer_cache[key]
+        if use_dd:
+            fn = self._build_ddim_fn(clip_denoised, kind=kind, shape=shape)
+            self._infer_cache[key] = fn
+            return fn
         if use_sw:
             fn = self._build_sliding_window_fn(extra, clip_denoised,
                                                kind=kind, shape=shape)
@@ -717,6 +758,36 @@ class DiffusionModel:
             return img
 
         return fn
+
+    def _build_ddim_fn(self, clip_denoised, kind="test", shape=None):
+        """Respaced-DDIM variant of _infer_fn's closures (diffusion/ddim.py):
+        S ≪ T steps as one scan. Params stay jit arguments (EMA weights
+        work; tunnel payload limit, CLAUDE.md)."""
+        from diffsplitting_tpu.diffusion.ddim import ddim_sample_loop
+
+        steps, eta = self.ddim
+        process, which = self.process, self.which
+        sched = self.current_sched
+        x_src = shape if kind == "sample" else None
+        # SR3 nets condition on the noise level, not raw t (sr3.py:60).
+        # Indexed on a HOST copy here at build time: ddim_sample_loop calls
+        # t_cond on the static numpy subsequence while tracing, and indexing
+        # a captured jnp constant inside a trace would yield a tracer.
+        if which == "sr3":
+            _lvls = np.asarray(sched.sqrt_alphas_cumprod_prev)
+            t_cond = lambda t: _lvls[t + 1]  # noqa: E731
+        else:
+            t_cond = None
+
+        def raw(params, x_in, rng):
+            d = lambda x, t: self._apply("net", params, x, t)
+            return ddim_sample_loop(
+                process, d, sched, rng,
+                x_src if x_src is not None else x_in,
+                steps=steps, eta=eta, clip_denoised=clip_denoised,
+                t_cond=t_cond)
+
+        return jax.jit(raw)
 
     def test(self, continuous=False, clip_denoised=True, t_float_start=None,
              use_ema=False, **_legacy):

@@ -42,6 +42,11 @@ def main():
                              "batched per sweep, TAU-gated advance; default "
                              "TAU 0.1, 0 = exact frozen-noise chain). Final "
                              "frames only; exclusive with --deepcache.")
+    parser.add_argument("--ddim", type=str, default=None, metavar="S[,ETA]",
+                        help="respaced DDIM serving: S steps through the "
+                             "trained net instead of the full T-step chain "
+                             "(default ETA 0 = deterministic). Final frames "
+                             "only; exclusive with the other accel modes.")
     args = parser.parse_args()
 
     opt = Logger.parse(args)
@@ -72,6 +77,10 @@ def main():
         parts = args.sliding_window.split(",")
         diffusion.set_sliding_window(
             int(parts[0]), float(parts[1]) if len(parts) > 1 else 0.1)
+    if args.ddim:
+        parts = args.ddim.split(",")
+        diffusion.set_ddim(
+            int(parts[0]), float(parts[1]) if len(parts) > 1 else 0.0)
 
     logger.info("Begin Model Inference.")
     current_step, idx = 0, 0
@@ -84,7 +93,7 @@ def main():
         diffusion.feed_data(batch)
         # deepcache's scan-carry cache and the windowed Picard loop yield
         # final frames only — no trajectory grid in those modes
-        final_only = deepcache is not None or args.sliding_window
+        final_only = deepcache is not None or args.sliding_window or args.ddim
         diffusion.test(continuous=not final_only)
         visuals = diffusion.get_current_visuals(need_LR=False)
 

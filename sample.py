@@ -39,6 +39,11 @@ def main():
                              "generation (default TAU 0.1; 0 = exact "
                              "frozen-noise chain). Final frames only; "
                              "exclusive with --deepcache.")
+    parser.add_argument("--ddim", type=str, default=None, metavar="S[,ETA]",
+                        help="respaced DDIM serving for val-phase generation "
+                             "(S steps, default ETA 0 = deterministic). "
+                             "Final frames only; exclusive with the other "
+                             "accel modes.")
     args = parser.parse_args()
 
     opt = Logger.parse(args)
@@ -58,7 +63,7 @@ def main():
 
     diffusion = create_model(opt)
     logger.info("Initial Model Finished")
-    accel = bool(args.deepcache or args.sliding_window)
+    accel = bool(args.deepcache or args.sliding_window or args.ddim)
     if args.deepcache:
         parts = args.deepcache.split(",")
         iv = parts[0] if parts[0] == "auto" else int(parts[0])
@@ -67,6 +72,10 @@ def main():
         parts = args.sliding_window.split(",")
         diffusion.set_sliding_window(
             int(parts[0]), float(parts[1]) if len(parts) > 1 else 0.1)
+    if args.ddim:
+        parts = args.ddim.split(",")
+        diffusion.set_ddim(
+            int(parts[0]), float(parts[1]) if len(parts) > 1 else 0.0)
 
     current_step = diffusion.begin_step
     current_epoch = diffusion.begin_epoch

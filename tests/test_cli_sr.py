@@ -101,3 +101,13 @@ def test_infer_cli(lrhr_root, tmp_path):
     sw_names = {p.name.split("_", 2)[-1] for p in sw_results}
     assert any("sr.png" in n for n in sw_names)
     assert not any("sr_process" in n for n in sw_names)
+
+    # respaced DDIM serving mode: S=2 of the 4-step chain, final frames only
+    dd_root = tmp_path / "exp_ddim"
+    res = run_cli("infer.py", ["-c", str(cfg_path), "-rootdir", str(dd_root),
+                               "--ddim", "2"], cwd=repo)
+    assert res.returncode == 0, res.stderr[-3000:]
+    dd_results = list(dd_root.rglob("results/*.png"))
+    dd_names = {p.name.split("_", 2)[-1] for p in dd_results}
+    assert any("sr.png" in n for n in dd_names)
+    assert not any("sr_process" in n for n in dd_names)
