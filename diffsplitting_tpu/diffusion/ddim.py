@@ -130,16 +130,85 @@ def ddim_sample_loop(
     )
 
     def body(x, inp):
-        key, tc, sr, srm1, sq_ab_prev, sig, dirc = inp
-        net_in = x if cond is None else jnp.concatenate([cond, x], axis=-1)
-        eps = denoise_fn(net_in, jnp.full((b,), tc, x.dtype))
-        x0 = sr * x - srm1 * eps
-        if clip_denoised:
-            x0 = jnp.clip(x0, -1.0, 1.0)
-        eps = (sr * x - x0) / srm1
-        noise = jax.random.normal(key, x.shape, x.dtype)
-        x = sq_ab_prev * x0 + dirc * eps + sig * noise
-        return x, None
+        return _ddim_step(denoise_fn, cond, x, inp, clip_denoised), None
 
     img, _ = jax.lax.scan(body, img, xs)
     return img
+
+
+def _ddim_step(denoise_fn, cond, x, inp, clip_denoised):
+    """One respaced transition x_τ → x_τ' (shared by the single-scan and
+    chunked loops so both compile the same step body)."""
+    key, tc, sr, srm1, sq_ab_prev, sig, dirc = inp
+    b = x.shape[0]
+    net_in = x if cond is None else jnp.concatenate([cond, x], axis=-1)
+    eps = denoise_fn(net_in, jnp.full((b,), tc, x.dtype))
+    x0 = sr * x - srm1 * eps
+    if clip_denoised:
+        x0 = jnp.clip(x0, -1.0, 1.0)
+    eps = (sr * x - x0) / srm1
+    noise = jax.random.normal(key, x.shape, x.dtype)
+    return sq_ab_prev * x0 + dirc * eps + sig * noise
+
+
+def ddim_sample_loop_chunked(
+    process,
+    denoise_apply: Callable,
+    params,
+    sched: DDPMSchedule,
+    rng,
+    x_in,
+    steps: int,
+    chunk_size: int,
+    eta: float = 0.0,
+    clip_denoised: bool = True,
+    t_cond: Optional[Callable] = None,
+):
+    """`ddim_sample_loop` as ⌈S/K⌉ jitted K-step scans + a host loop.
+
+    Identical rng discipline and step body as the single scan — chunking
+    changes compilation units, not math (common.chunked_reverse_scan) —
+    for shapes whose full program breaks the compiler (the 512²-class
+    chains, CLAUDE.md). `denoise_apply(params, x, t)` keeps params/condition
+    as jit arguments (tunnel remote-compile payload limit).
+    """
+    S_taus, ab_prev, sigma, dir_coef = ddim_coefficients(sched, steps, eta)
+    S = len(S_taus)
+    if t_cond is None:
+        tcv = S_taus.astype(np.float32)
+    else:
+        tcv = np.asarray(t_cond(S_taus), np.float32)
+
+    rng, init_rng = jax.random.split(rng)
+    if process.conditional:
+        cond = x_in
+        shape = cond.shape[:-1] + (process.channels,)
+        img = jax.random.normal(init_rng, shape, dtype=cond.dtype)
+    else:
+        cond = None
+        shape = tuple(x_in) if isinstance(x_in, (tuple, list)) else x_in.shape
+        img = jax.random.normal(init_rng, shape, dtype=jnp.float32)
+
+    c_sr = np.asarray(sched.sqrt_recip_alphas_cumprod, np.float64)[S_taus]
+    c_srm1 = np.asarray(sched.sqrt_recipm1_alphas_cumprod, np.float64)[S_taus]
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    step_inputs = (
+        jax.random.split(rng, S),
+        f32(tcv),
+        f32(c_sr),
+        f32(c_srm1),
+        f32(np.sqrt(ab_prev)),
+        f32(sigma),
+        f32(dir_coef),
+    )
+
+    def step_fn(consts, x, inp):
+        p, c = consts
+        dn = lambda xx, tt: denoise_apply(p, xx, tt)  # noqa: E731
+        return _ddim_step(dn, c, x, inp, clip_denoised)
+
+    from .common import chunked_reverse_scan
+
+    return chunked_reverse_scan(step_fn, (params, cond), img, step_inputs,
+                                chunk_size)

@@ -504,13 +504,17 @@ class DiffusionModel:
         use_chunk = chunkable and not use_dc and not use_sw and not use_dd
         key = (kind, shape, self.schedule_phase, T_key, continuous, extra,
                clip_denoised, self.deepcache if use_dc else None,
-               self.sampler_chunk if (use_chunk or (use_dc and chunkable)) else 0,
+               self.sampler_chunk
+               if (use_chunk or ((use_dc or use_dd) and chunkable)) else 0,
                self.sliding_window if use_sw else None,
                self.ddim if use_dd else None)
         if key in self._infer_cache:
             return self._infer_cache[key]
         if use_dd:
-            fn = self._build_ddim_fn(clip_denoised, kind=kind, shape=shape)
+            # DDIM composes with chunking the same way DeepCache does: the
+            # 512²-class chains ride ⌈S/K⌉ jitted chunks
+            fn = self._build_ddim_fn(clip_denoised, kind=kind, shape=shape,
+                                     chunked=chunkable)
             self._infer_cache[key] = fn
             return fn
         if use_sw:
@@ -759,11 +763,16 @@ class DiffusionModel:
 
         return fn
 
-    def _build_ddim_fn(self, clip_denoised, kind="test", shape=None):
+    def _build_ddim_fn(self, clip_denoised, kind="test", shape=None,
+                       chunked=False):
         """Respaced-DDIM variant of _infer_fn's closures (diffusion/ddim.py):
-        S ≪ T steps as one scan. Params stay jit arguments (EMA weights
-        work; tunnel payload limit, CLAUDE.md)."""
-        from diffsplitting_tpu.diffusion.ddim import ddim_sample_loop
+        S ≪ T steps as one scan, or ⌈S/K⌉ jitted chunks when
+        model.sampler_chunk is set (512²-class shapes). Params stay jit
+        arguments (EMA weights work; tunnel payload limit, CLAUDE.md)."""
+        from diffsplitting_tpu.diffusion.ddim import (
+            ddim_sample_loop,
+            ddim_sample_loop_chunked,
+        )
 
         steps, eta = self.ddim
         process, which = self.process, self.which
@@ -778,6 +787,20 @@ class DiffusionModel:
             t_cond = lambda t: _lvls[t + 1]  # noqa: E731
         else:
             t_cond = None
+
+        if chunked:
+            chunk = self.sampler_chunk
+
+            def chunked_fn(params, x_in, rng):
+                # host loop over jitted K-step scans — NOT wrapped in an
+                # outer jit; params/cond stay jit args inside
+                da = lambda p, xx, tt: self._apply("net", p, xx, tt)  # noqa: E731
+                return ddim_sample_loop_chunked(
+                    process, da, params, sched, rng, x_in, steps=steps,
+                    chunk_size=chunk, eta=eta, clip_denoised=clip_denoised,
+                    t_cond=t_cond)
+
+            return chunked_fn
 
         def raw(params, x_in, rng):
             d = lambda x, t: self._apply("net", params, x, t)

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--config", default="configs/sr_sr3_16_128.json")
     ap.add_argument("--workdir", default="/tmp/quality_deepcache")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--l_res", type=int, default=16)
+    ap.add_argument("--r_res", type=int, default=128)
     ap.add_argument("--steps", default="50,100,250")
     ap.add_argument("--etas", default="0.0")
     ap.add_argument("--timesteps", type=int, default=0,
@@ -64,7 +66,7 @@ def main():
     opt["model"]["compute_dtype"] = "bfloat16"
     opt = dict_to_nonedict(opt)
 
-    batch_np = prepare_face_batch(args.workdir, 16, 128)
+    batch_np = prepare_face_batch(args.workdir, args.l_res, args.r_res)
     b = args.batch
     cond_np = batch_np["input"][:b]
     hr_np = batch_np["target"][:b]

@@ -147,6 +147,28 @@ def test_sr3_noise_level_conditioning(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_chunked_equals_single_scan(rng):
+    """⌈S/K⌉ chunked DDIM reproduces the single scan (same pre-split keys,
+    same shared step body) for every K incl. K>S."""
+    from diffsplitting_tpu.diffusion.ddim import ddim_sample_loop_chunked
+
+    T = 20
+    S = 7
+    sched = _sched(T)
+    proc = DDPMProcess(image_size=8, channels=1, conditional=True)
+    cond = jax.random.normal(rng, (2, 8, 8, 1))
+    denoise = lambda x, t: 0.3 * jnp.tanh(x[..., -1:])  # noqa: E731
+    want = np.asarray(
+        ddim_sample_loop(proc, denoise, sched, rng, cond, steps=S, eta=0.7)
+    )
+    da = lambda p, x, t: denoise(x, t)  # noqa: E731
+    for K in (1, 3, 7, 10):
+        got = np.asarray(ddim_sample_loop_chunked(
+            proc, da, None, sched, rng, cond, steps=S, chunk_size=K, eta=0.7
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_jittable(rng):
     T = 10
     sched = _sched(T)

@@ -101,6 +101,30 @@ def test_unconditional_sample_ddim(tmp_path):
     assert frames.ndim == 5
 
 
+def test_ddim_rides_sampler_chunk(tmp_path):
+    """model.sampler_chunk set (the 512²-class escape hatch) routes DDIM
+    through ⌈S/K⌉ jitted chunks — same output as the single-scan route."""
+    batch = {"input": synth_batch(b=2, in_ch=1, out_ch=1)["input"]}
+
+    plain = DiffusionModel(_sr3_opt(tmp_path, {"steps": 3}), seed=0)
+    plain.set_new_noise_schedule(
+        plain.opt["model"]["beta_schedule"]["val"], "val")
+    plain.feed_data(batch)
+    plain._rng_counter = 40
+    want = np.asarray(plain.test(continuous=False))
+
+    opt = _sr3_opt(tmp_path, {"steps": 3})
+    opt["model"]["sampler_chunk"] = 2
+    chunked = DiffusionModel(opt, seed=0)
+    assert chunked.sampler_chunk == 2
+    chunked.set_new_noise_schedule(
+        chunked.opt["model"]["beta_schedule"]["val"], "val")
+    chunked.feed_data(batch)
+    chunked._rng_counter = 40
+    got = np.asarray(chunked.test(continuous=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_indi_ignores_ddim(tmp_path):
     """InDI respaces natively via num_timesteps — model.ddim must be inert
     there (exact chain runs, no error)."""
