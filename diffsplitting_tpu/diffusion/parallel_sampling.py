@@ -331,7 +331,7 @@ def ddpm_sample_sliding_window(
         t = ts_all[gidx]
         return jnp.exp(logvar[t]) * (t > 0)
 
-    return _sliding_window_loop(step_window, noise_var, T, W, img0, float(tau))
+    return _sliding_window_loop(step_window, noise_var, T, W, img0, tau)
 
 
 def indi_inference_sliding_window(
@@ -376,4 +376,4 @@ def indi_inference_sliding_window(
         t = ts_all[gidx]
         return jax.vmap(lambda tt: process.get_t_times_e(tt - delta) ** 2)(t)
 
-    return _sliding_window_loop(step_window, noise_var, N, W, x0, float(tau))
+    return _sliding_window_loop(step_window, noise_var, N, W, x0, tau)

@@ -270,6 +270,29 @@ def test_sliding_window_unconditional(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_sliding_window_traced_tau(rng):
+    """tau as a TRACED jit argument (how bench_sliding_window sweeps it
+    without recompiling) must match the python-float call."""
+    from diffsplitting_tpu.diffusion.parallel_sampling import (
+        ddpm_sample_sliding_window,
+    )
+
+    proc, sched, cond, denoise = _ddpm_setup(rng, T=8)
+    f = jax.jit(
+        lambda r, c, W, tau: ddpm_sample_sliding_window(
+            proc, denoise, sched, r, c, window=W, tau=tau
+        ),
+        static_argnums=(2,),
+    )
+    out, sweeps = f(rng, cond, 4, 0.1)
+    ref, sweeps_ref = ddpm_sample_sliding_window(
+        proc, denoise, sched, rng, cond, window=4, tau=0.1
+    )
+    assert int(sweeps) == int(sweeps_ref)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_sliding_window_jittable(rng):
     from diffsplitting_tpu.diffusion.parallel_sampling import (
         ddpm_sample_sliding_window,
