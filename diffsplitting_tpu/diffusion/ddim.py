@@ -44,7 +44,10 @@ def ddim_timesteps(T: int, steps: int) -> np.ndarray:
     if S >= T:
         return np.arange(T - 1, -1, -1, dtype=np.int64)
     assert S >= 1, "need at least one DDIM step"
-    taus = np.unique(np.round(np.linspace(0, T - 1, S)).astype(np.int64))
+    # built from T-1 DOWN so S=1 keeps the trained-prior timestep (a 0-based
+    # ascending linspace would collapse S=1 to τ=[0]: a chain that never
+    # leaves the nearly-clean noise level)
+    taus = np.unique(np.round(np.linspace(T - 1, 0, S)).astype(np.int64))
     return taus[::-1].copy()
 
 
@@ -97,6 +100,20 @@ def ddim_sample_loop(
 
     Returns the final image (B, H, W, C).
     """
+    img, cond, xs = _ddim_setup(process, sched, rng, x_in, steps, eta,
+                                t_cond, condition_x)
+
+    def body(x, inp):
+        return _ddim_step(denoise_fn, cond, x, inp, clip_denoised), None
+
+    img, _ = jax.lax.scan(body, img, xs)
+    return img
+
+
+def _ddim_setup(process, sched, rng, x_in, steps, eta, t_cond,
+                condition_x=None):
+    """Shared preamble of both DDIM loops: initial noise, condition, and the
+    per-step (S,)-stacked scan inputs (keys + static coefficients)."""
     S_taus, ab_prev, sigma, dir_coef = ddim_coefficients(sched, steps, eta)
     S = len(S_taus)
     if t_cond is None:
@@ -113,7 +130,6 @@ def ddim_sample_loop(
         cond = None
         shape = tuple(x_in) if isinstance(x_in, (tuple, list)) else x_in.shape
         img = jax.random.normal(init_rng, shape, dtype=jnp.float32)
-    b = shape[0]
 
     c_sr = np.asarray(sched.sqrt_recip_alphas_cumprod, np.float64)[S_taus]
     c_srm1 = np.asarray(sched.sqrt_recipm1_alphas_cumprod, np.float64)[S_taus]
@@ -128,12 +144,7 @@ def ddim_sample_loop(
         f32(sigma),
         f32(dir_coef),
     )
-
-    def body(x, inp):
-        return _ddim_step(denoise_fn, cond, x, inp, clip_denoised), None
-
-    img, _ = jax.lax.scan(body, img, xs)
-    return img
+    return img, cond, xs
 
 
 def _ddim_step(denoise_fn, cond, x, inp, clip_denoised):
@@ -172,36 +183,8 @@ def ddim_sample_loop_chunked(
     chains, CLAUDE.md). `denoise_apply(params, x, t)` keeps params/condition
     as jit arguments (tunnel remote-compile payload limit).
     """
-    S_taus, ab_prev, sigma, dir_coef = ddim_coefficients(sched, steps, eta)
-    S = len(S_taus)
-    if t_cond is None:
-        tcv = S_taus.astype(np.float32)
-    else:
-        tcv = np.asarray(t_cond(S_taus), np.float32)
-
-    rng, init_rng = jax.random.split(rng)
-    if process.conditional:
-        cond = x_in
-        shape = cond.shape[:-1] + (process.channels,)
-        img = jax.random.normal(init_rng, shape, dtype=cond.dtype)
-    else:
-        cond = None
-        shape = tuple(x_in) if isinstance(x_in, (tuple, list)) else x_in.shape
-        img = jax.random.normal(init_rng, shape, dtype=jnp.float32)
-
-    c_sr = np.asarray(sched.sqrt_recip_alphas_cumprod, np.float64)[S_taus]
-    c_srm1 = np.asarray(sched.sqrt_recipm1_alphas_cumprod, np.float64)[S_taus]
-
-    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
-    step_inputs = (
-        jax.random.split(rng, S),
-        f32(tcv),
-        f32(c_sr),
-        f32(c_srm1),
-        f32(np.sqrt(ab_prev)),
-        f32(sigma),
-        f32(dir_coef),
-    )
+    img, cond, step_inputs = _ddim_setup(process, sched, rng, x_in, steps,
+                                         eta, t_cond)
 
     def step_fn(consts, x, inp):
         p, c = consts

@@ -171,6 +171,8 @@ class DiffusionModel:
             _eta = dd_opt.get("eta")
             self.ddim = (int(dd_opt["steps"]),
                          0.0 if _eta is None else float(_eta))
+        self._warned_sw_continuous = False
+        self._warned_dd_continuous = False
 
         # model.sampler_chunk: K>0 runs conditional sr3/ddpm test() as
         # ⌈T/K⌉ jitted K-step scan chunks + host loop — bit-identical to the
@@ -422,7 +424,14 @@ class DiffusionModel:
         if self.sliding_window is None or kind not in ("test", "sample"):
             return False
         if continuous:
-            return False  # windowed loop keeps no trajectory frames
+            # windowed loop keeps no trajectory frames
+            if not self._warned_sw_continuous:
+                logger.warning(
+                    "sliding_window ignores continuous=True sampling — "
+                    "running the exact chain for trajectory requests"
+                )
+                self._warned_sw_continuous = True
+            return False
         if self.which in ("ddpm", "sr3") and not self.process.conditional:
             return kind == "sample"
         return kind == "test"
@@ -442,7 +451,14 @@ class DiffusionModel:
         if self.ddim is None or kind not in ("test", "sample"):
             return False
         if continuous:
-            return False  # DDIM loop keeps no trajectory frames
+            # DDIM loop keeps no trajectory frames
+            if not self._warned_dd_continuous:
+                logger.warning(
+                    "ddim ignores continuous=True sampling — running the "
+                    "exact chain for trajectory requests"
+                )
+                self._warned_dd_continuous = True
+            return False
         if self.which not in ("ddpm", "sr3"):
             return False  # InDI respaces natively via num_timesteps
         if not self.process.conditional:
@@ -502,19 +518,23 @@ class DiffusionModel:
             and self.which in ("ddpm", "sr3") and self.process.conditional
         )
         use_chunk = chunkable and not use_dc and not use_sw and not use_dd
+        # DDIM composes with chunking the same way DeepCache does (the
+        # 512²-class chains ride ⌈S/K⌉ jitted chunks) — but only when the
+        # respaced chain actually exceeds one chunk; at S ≤ K the single
+        # cached-jit scan is the same program without host-loop overhead
+        dd_chunk = (use_dd and chunkable
+                    and min(self.ddim[0], T_key) > self.sampler_chunk)
         key = (kind, shape, self.schedule_phase, T_key, continuous, extra,
                clip_denoised, self.deepcache if use_dc else None,
                self.sampler_chunk
-               if (use_chunk or ((use_dc or use_dd) and chunkable)) else 0,
+               if (use_chunk or ((use_dc and chunkable) or dd_chunk)) else 0,
                self.sliding_window if use_sw else None,
                self.ddim if use_dd else None)
         if key in self._infer_cache:
             return self._infer_cache[key]
         if use_dd:
-            # DDIM composes with chunking the same way DeepCache does: the
-            # 512²-class chains ride ⌈S/K⌉ jitted chunks
             fn = self._build_ddim_fn(clip_denoised, kind=kind, shape=shape,
-                                     chunked=chunkable)
+                                     chunked=dd_chunk)
             self._infer_cache[key] = fn
             return fn
         if use_sw:

@@ -19,6 +19,7 @@ from diffsplitting_tpu import config as Logger
 from diffsplitting_tpu import data as Data
 from diffsplitting_tpu.train import create_model
 from diffsplitting_tpu.utils import setup_logger
+from diffsplitting_tpu.utils.cli import parse_accel_flag
 from diffsplitting_tpu.utils.metrics import save_img, tensor2img
 from diffsplitting_tpu.utils.wandb_logger import WandbLogger
 
@@ -67,20 +68,13 @@ def main():
     diffusion = create_model(opt)
     logger.info("Initial Model Finished")
     diffusion.set_new_noise_schedule(opt["model"]["beta_schedule"]["val"], "val")
-    deepcache = None
     if args.deepcache:
-        parts = args.deepcache.split(",")
-        iv = parts[0] if parts[0] == "auto" else int(parts[0])
-        deepcache = (iv, int(parts[1]) if len(parts) > 1 else 1)
-        diffusion.set_deepcache(*deepcache)
+        diffusion.set_deepcache(
+            *parse_accel_flag(args.deepcache, 1, second_cast=int))
     if args.sliding_window:
-        parts = args.sliding_window.split(",")
-        diffusion.set_sliding_window(
-            int(parts[0]), float(parts[1]) if len(parts) > 1 else 0.1)
+        diffusion.set_sliding_window(*parse_accel_flag(args.sliding_window, 0.1))
     if args.ddim:
-        parts = args.ddim.split(",")
-        diffusion.set_ddim(
-            int(parts[0]), float(parts[1]) if len(parts) > 1 else 0.0)
+        diffusion.set_ddim(*parse_accel_flag(args.ddim, 0.0))
 
     logger.info("Begin Model Inference.")
     current_step, idx = 0, 0
@@ -91,9 +85,12 @@ def main():
         idx += 1
         batch = {"input": val_data["SR"], "target": val_data["HR"]}
         diffusion.feed_data(batch)
-        # deepcache's scan-carry cache and the windowed Picard loop yield
-        # final frames only — no trajectory grid in those modes
-        final_only = deepcache is not None or args.sliding_window or args.ddim
+        # the accelerated samplers (deepcache / windowed Picard / ddim —
+        # CLI flags or config keys) yield final frames only: no trajectory
+        # grid in those modes
+        final_only = (diffusion.deepcache is not None
+                      or diffusion.sliding_window is not None
+                      or diffusion.ddim is not None)
         diffusion.test(continuous=not final_only)
         visuals = diffusion.get_current_visuals(need_LR=False)
 

@@ -29,6 +29,7 @@ from diffsplitting_tpu.data.io import load_tiff_stack, save_tiff_stack
 from diffsplitting_tpu.data.split_dataset import compute_normalization_dict
 from diffsplitting_tpu.data.tiled_infer import predict_tiled
 from diffsplitting_tpu.train import DiffusionModel
+from diffsplitting_tpu.utils.cli import parse_accel_flag
 
 
 def main():
@@ -96,13 +97,10 @@ def main():
 
     model = DiffusionModel(opt)
     if args.deepcache:
-        parts = args.deepcache.split(",")
-        iv = parts[0] if parts[0] == "auto" else int(parts[0])
-        model.set_deepcache(iv, int(parts[1]) if len(parts) > 1 else 1)
+        model.set_deepcache(
+            *parse_accel_flag(args.deepcache, 1, second_cast=int))
     if args.sliding_window:
-        parts = args.sliding_window.split(",")
-        model.set_sliding_window(
-            int(parts[0]), float(parts[1]) if len(parts) > 1 else 0.1)
+        model.set_sliding_window(*parse_accel_flag(args.sliding_window, 0.1))
     T = args.num_steps or int(opt["model"]["beta_schedule"]["val"]["n_timestep"])
     model.current_T = T
     model.schedule_phase = f"predict_{T}"

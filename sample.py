@@ -15,6 +15,7 @@ from diffsplitting_tpu import config as Logger
 from diffsplitting_tpu import data as Data
 from diffsplitting_tpu.train import create_model
 from diffsplitting_tpu.utils import setup_logger
+from diffsplitting_tpu.utils.cli import parse_accel_flag
 from diffsplitting_tpu.utils.metrics import save_img, tensor2img
 from diffsplitting_tpu.utils.wandb_logger import WandbLogger
 
@@ -63,19 +64,17 @@ def main():
 
     diffusion = create_model(opt)
     logger.info("Initial Model Finished")
-    accel = bool(args.deepcache or args.sliding_window or args.ddim)
     if args.deepcache:
-        parts = args.deepcache.split(",")
-        iv = parts[0] if parts[0] == "auto" else int(parts[0])
-        diffusion.set_deepcache(iv, int(parts[1]) if len(parts) > 1 else 1)
+        diffusion.set_deepcache(
+            *parse_accel_flag(args.deepcache, 1, second_cast=int))
     if args.sliding_window:
-        parts = args.sliding_window.split(",")
-        diffusion.set_sliding_window(
-            int(parts[0]), float(parts[1]) if len(parts) > 1 else 0.1)
+        diffusion.set_sliding_window(*parse_accel_flag(args.sliding_window, 0.1))
     if args.ddim:
-        parts = args.ddim.split(",")
-        diffusion.set_ddim(
-            int(parts[0]), float(parts[1]) if len(parts) > 1 else 0.0)
+        diffusion.set_ddim(*parse_accel_flag(args.ddim, 0.0))
+    # accelerated samplers (flags or config keys) keep no trajectory frames
+    accel = (diffusion.deepcache is not None
+             or diffusion.sliding_window is not None
+             or diffusion.ddim is not None)
 
     current_step = diffusion.begin_step
     current_epoch = diffusion.begin_epoch

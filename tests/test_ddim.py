@@ -39,6 +39,9 @@ def test_timesteps_respacing():
     # oversized request clamps to the full sequence
     np.testing.assert_array_equal(ddim_timesteps(6, 100),
                                   np.arange(5, -1, -1))
+    # S=1 must keep the trained-prior timestep, not collapse to tau=[0]
+    np.testing.assert_array_equal(ddim_timesteps(10, 1), [9])
+    np.testing.assert_array_equal(ddim_timesteps(10, 2), [9, 0])
 
 
 def test_eta1_sigma_equals_posterior_variance():
