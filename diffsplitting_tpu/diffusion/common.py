@@ -98,7 +98,28 @@ def scan_with_trajectory(
     return final_x, final_extra, frames
 
 
-def chunked_reverse_scan(step_fn, consts, init_x, step_inputs, chunk_size: int):
+class ChunkRunner:
+    """Holder that keeps one chunked-scan jit alive across sampler calls.
+
+    A fresh `@jax.jit` closure is a new jit-cache entry, so a chunked
+    sampler that builds its runner per invocation RE-TRACES every serving
+    request — measured as tens of seconds per call through the TPU tunnel
+    (bench_ddim S=250 rows, round 3). Callers that invoke a chunked sampler
+    repeatedly with the same step semantics create one ChunkRunner next to
+    the closure configuration and pass it each call; the first call
+    populates it, later calls reuse the compiled programs. The runner must
+    not be shared between samplers with different step bodies — it replays
+    whatever step_fn it was first built with.
+    """
+
+    __slots__ = ("_jitted",)
+
+    def __init__(self):
+        self._jitted = None
+
+
+def chunked_reverse_scan(step_fn, consts, init_x, step_inputs, chunk_size: int,
+                         runner: "ChunkRunner | None" = None):
     """⌈T/K⌉ jitted K-step `lax.scan` chunks + a host loop — bit-identical to
     one T-step scan of `step_fn` over the same `step_inputs`.
 
@@ -111,18 +132,26 @@ def chunked_reverse_scan(step_fn, consts, init_x, step_inputs, chunk_size: int):
     step_fn(consts, x, inp) -> x. `consts` (params, condition, …) are jit
     ARGUMENTS — closure-captured trees inline into the compile payload and
     blow the remote-compile body limit (CLAUDE.md). At most two compiles: the
-    K-step program and the remainder.
+    K-step program and the remainder — and with a `runner` those compiles
+    happen once for the runner's lifetime, not once per call.
     """
     T = jax.tree_util.tree_leaves(step_inputs)[0].shape[0]
     assert chunk_size >= 1
 
-    @jax.jit
-    def run_chunk(consts, x, inputs):
-        def body(x, inp):
-            return step_fn(consts, x, inp), None
+    if runner is not None and runner._jitted is not None:
+        run_chunk = runner._jitted
+    else:
 
-        x, _ = jax.lax.scan(body, x, inputs)
-        return x
+        @jax.jit
+        def run_chunk(consts, x, inputs):
+            def body(x, inp):
+                return step_fn(consts, x, inp), None
+
+            x, _ = jax.lax.scan(body, x, inputs)
+            return x
+
+        if runner is not None:
+            runner._jitted = run_chunk
 
     x = init_x
     for s in range(0, T, chunk_size):

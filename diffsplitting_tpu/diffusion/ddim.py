@@ -174,6 +174,7 @@ def ddim_sample_loop_chunked(
     eta: float = 0.0,
     clip_denoised: bool = True,
     t_cond: Optional[Callable] = None,
+    runner=None,
 ):
     """`ddim_sample_loop` as ⌈S/K⌉ jitted K-step scans + a host loop.
 
@@ -194,4 +195,4 @@ def ddim_sample_loop_chunked(
     from .common import chunked_reverse_scan
 
     return chunked_reverse_scan(step_fn, (params, cond), img, step_inputs,
-                                chunk_size)
+                                chunk_size, runner=runner)

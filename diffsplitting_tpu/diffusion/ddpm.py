@@ -176,11 +176,12 @@ class DDPMProcess:
 
     def p_sample_loop_chunked(
         self, denoise_apply, params, sched, rng, x_in, chunk_size: int,
-        clip_denoised: bool = True,
+        clip_denoised: bool = True, runner=None,
     ):
         """`p_sample_loop(continuous=False)` as ⌈T/K⌉ jitted K-step scans —
         bit-identical math, bounded compile units (see SR3Process's twin and
-        common.chunked_reverse_scan)."""
+        common.chunked_reverse_scan). Pass a common.ChunkRunner to reuse the
+        chunk compiles across calls (serving)."""
         T = sched.num_timesteps
         rng, init_rng = jax.random.split(rng)
         if self.conditional:
@@ -206,7 +207,8 @@ class DDPMProcess:
 
         from .common import chunked_reverse_scan
 
-        return chunked_reverse_scan(step_fn, (params, cond), img, (step_keys, ts), chunk_size)
+        return chunked_reverse_scan(step_fn, (params, cond), img, (step_keys, ts),
+                                    chunk_size, runner=runner)
 
     def sample(self, denoise_fn, sched, rng, batch_size=1, continuous=False):
         shape = (batch_size, self.image_size, self.image_size, self.channels)

@@ -139,6 +139,7 @@ def cached_p_sample_loop_chunked(
     interval: int = 1,
     clip_denoised: bool = True,
     chunk_size: int = 100,
+    runner=None,
 ):
     """`cached_p_sample_loop` as ⌈T/K⌉ jitted K-step scans + a host loop.
 
@@ -202,7 +203,8 @@ def cached_p_sample_loop_chunked(
     from .common import chunked_reverse_scan
 
     final_img, _ = chunked_reverse_scan(
-        step_fn, (consts, cond), (img, deep0), (step_keys, ts, refresh), chunk_size
+        step_fn, (consts, cond), (img, deep0), (step_keys, ts, refresh),
+        chunk_size, runner=runner,
     )
     return final_img
 

@@ -115,7 +115,7 @@ class SR3Process:
 
     def p_sample_loop_chunked(
         self, denoise_apply, params, sched, rng, x_in, chunk_size: int,
-        clip_denoised: bool = True,
+        clip_denoised: bool = True, runner=None,
     ):
         """`p_sample_loop(continuous=False)` as ⌈T/K⌉ jitted K-step scans.
 
@@ -147,7 +147,8 @@ class SR3Process:
 
         from .common import chunked_reverse_scan
 
-        return chunked_reverse_scan(step_fn, (params, cond), img, (step_keys, ts), chunk_size)
+        return chunked_reverse_scan(step_fn, (params, cond), img, (step_keys, ts),
+                                    chunk_size, runner=runner)
 
     def sample(self, denoise_fn, sched, rng, batch_size=1, continuous=False):
         shape = (batch_size, self.image_size, self.image_size, self.channels)

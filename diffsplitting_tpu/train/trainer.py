@@ -556,7 +556,10 @@ class DiffusionModel:
         process, which = self.process, self.which
 
         if use_chunk:
+            from diffsplitting_tpu.diffusion.common import ChunkRunner
+
             sched, chunk = self.current_sched, self.sampler_chunk
+            runner = ChunkRunner()  # one compile for this cached fn's lifetime
 
             def chunked_fn(params, x_in, rng):
                 # host loop over jitted K-step scans — NOT wrapped in an
@@ -564,7 +567,7 @@ class DiffusionModel:
                 da = lambda p, xx, tt: self._apply("net", p, xx, tt)  # noqa: E731
                 return process.p_sample_loop_chunked(
                     da, params, sched, rng, x_in, chunk,
-                    clip_denoised=clip_denoised,
+                    clip_denoised=clip_denoised, runner=runner,
                 )
 
             self._infer_cache[key] = chunked_fn
@@ -701,10 +704,13 @@ class DiffusionModel:
         )
         from diffsplitting_tpu.models.deepcache import CachedUNet
 
+        from diffsplitting_tpu.diffusion.common import ChunkRunner
+
         depth = self.deepcache[1]
         process, sched, chunk = self.process, self.current_sched, self.sampler_chunk
         interval = self._dc_interval(sched.num_timesteps)
         cnet = CachedUNet.from_unet(self.nets["net"], depth)
+        runner = ChunkRunner()  # one compile for this cached fn's lifetime
 
         def fn(params, x_in, rng):
             full = lambda p, ni, lvl: cnet.apply({"params": p["net"]}, ni, lvl)
@@ -714,7 +720,7 @@ class DiffusionModel:
             return cached_p_sample_loop_chunked(
                 process, sched, rng, x_in, full, shallow, params,
                 interval=interval, clip_denoised=clip_denoised,
-                chunk_size=chunk,
+                chunk_size=chunk, runner=runner,
             )
 
         return fn
@@ -809,7 +815,10 @@ class DiffusionModel:
             t_cond = None
 
         if chunked:
+            from diffsplitting_tpu.diffusion.common import ChunkRunner
+
             chunk = self.sampler_chunk
+            runner = ChunkRunner()  # one compile for this cached fn's lifetime
 
             def chunked_fn(params, x_in, rng):
                 # host loop over jitted K-step scans — NOT wrapped in an
@@ -818,7 +827,7 @@ class DiffusionModel:
                 return ddim_sample_loop_chunked(
                     process, da, params, sched, rng, x_in, steps=steps,
                     chunk_size=chunk, eta=eta, clip_denoised=clip_denoised,
-                    t_cond=t_cond)
+                    t_cond=t_cond, runner=runner)
 
             return chunked_fn
 
@@ -921,6 +930,23 @@ class DiffusionModel:
             ema_params=self.ema_params,
         )
         logger.info("Saved model in [%s] ...", gen_path)
+
+    def export_torch(self, path: str, use_ema: bool = False) -> str:
+        """Write the current weights as a reference-format `*_gen.pth` the
+        unmodified reference resumes with strict=True (the inverse of
+        load_network's torch fallback; utils/torch_export.py). Returns the
+        written path."""
+        from diffsplitting_tpu.utils.torch_export import save_reference_checkpoint
+
+        params = self.ema_params if (use_ema and self.ema_params) else self.params
+        sched = self.current_sched
+        if self.which in ("ddpm", "sr3") and sched is None:
+            sched = build_ddpm_schedule(self.opt["model"]["beta_schedule"]["train"])
+        out = save_reference_checkpoint(
+            path, self.which, jax.device_get(params), self.nets, sched
+        )
+        logger.info("Exported reference-format checkpoint to [%s]", out)
+        return out
 
     def load_network(self):
         load_path = self.opt["path"].get("resume_state") if self.opt.get("path") else None

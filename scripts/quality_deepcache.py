@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--variants", default="2:2,3:2,5:2,5:1",
                     help="comma list of interval:depth")
     ap.add_argument("--ema", type=float, default=0.9999)
+    ap.add_argument("--train_only", action="store_true",
+                    help="train + save the checkpoint, skip the sampling sweep "
+                         "(producer for bench_ddim/bench_sliding_window)")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +74,10 @@ def main():
                 print(f"iter {it}: l_pix={float(model.get_current_log()['l_pix']):.1f} "
                       f"({time.perf_counter() - t0:.0f}s)", flush=True)
         model.save_network(epoch=0, iter_step=args.iters)
+
+    if args.train_only:
+        print("train_only: checkpoint at", ckpt_prefix, flush=True)
+        return
 
     # ------------------------------------------------------------- sampling
     import jax.numpy as jnp

@@ -139,3 +139,33 @@ def test_trainer_sampler_chunk_route(tmp_path):
     # trajectory requests bypass chunking (full scan still works)
     frames = np.asarray(chunked.test(continuous=True))
     assert frames.ndim == 5
+
+
+def test_chunk_runner_reuses_compiles_across_calls():
+    """Serving regression: without a ChunkRunner every chunked call builds a
+    fresh @jax.jit and RE-TRACES (measured as tens of seconds per request
+    through the TPU tunnel); with one, the second call must not trace at all
+    and stays bit-identical to the runner-less path."""
+    from diffsplitting_tpu.diffusion.common import ChunkRunner
+
+    net, process, sched, v, cond = _setup("sr3")
+    traces = [0]
+
+    def da(p, xx, tt):
+        traces[0] += 1  # increments only while tracing
+        return net.apply(p, xx, tt)
+
+    runner = ChunkRunner()
+    out1 = np.asarray(process.p_sample_loop_chunked(
+        da, v, sched, jax.random.PRNGKey(7), cond, chunk_size=4, runner=runner))
+    n_first = traces[0]
+    assert n_first > 0  # chunk 4 over T=10 → 4/4/2: two trace signatures
+    out2 = np.asarray(process.p_sample_loop_chunked(
+        da, v, sched, jax.random.PRNGKey(7), cond, chunk_size=4, runner=runner))
+    assert traces[0] == n_first, "second call re-traced despite the runner"
+    np.testing.assert_array_equal(out1, out2)
+
+    da_plain = lambda p, xx, tt: net.apply(p, xx, tt)  # noqa: E731
+    want = np.asarray(process.p_sample_loop_chunked(
+        da_plain, v, sched, jax.random.PRNGKey(7), cond, chunk_size=4))
+    np.testing.assert_array_equal(out1, want)
