@@ -147,6 +147,17 @@ def _ddim_setup(process, sched, rng, x_in, steps, eta, t_cond,
     return img, cond, xs
 
 
+def _ddim_update(key, x, eps, sr, srm1, sq_ab_prev, sig, dirc, clip_denoised):
+    """The x_τ → x_τ' update given ε̂ — shared with the DeepCache-cached DDIM
+    loops (deepcache.py) so every route compiles the same transition math."""
+    x0 = sr * x - srm1 * eps
+    if clip_denoised:
+        x0 = jnp.clip(x0, -1.0, 1.0)
+    eps = (sr * x - x0) / srm1
+    noise = jax.random.normal(key, x.shape, x.dtype)
+    return sq_ab_prev * x0 + dirc * eps + sig * noise
+
+
 def _ddim_step(denoise_fn, cond, x, inp, clip_denoised):
     """One respaced transition x_τ → x_τ' (shared by the single-scan and
     chunked loops so both compile the same step body)."""
@@ -154,12 +165,8 @@ def _ddim_step(denoise_fn, cond, x, inp, clip_denoised):
     b = x.shape[0]
     net_in = x if cond is None else jnp.concatenate([cond, x], axis=-1)
     eps = denoise_fn(net_in, jnp.full((b,), tc, x.dtype))
-    x0 = sr * x - srm1 * eps
-    if clip_denoised:
-        x0 = jnp.clip(x0, -1.0, 1.0)
-    eps = (sr * x - x0) / srm1
-    noise = jax.random.normal(key, x.shape, x.dtype)
-    return sq_ab_prev * x0 + dirc * eps + sig * noise
+    return _ddim_update(key, x, eps, sr, srm1, sq_ab_prev, sig, dirc,
+                        clip_denoised)
 
 
 def ddim_sample_loop_chunked(

@@ -128,6 +128,125 @@ def cached_p_sample_loop(
     return final_img
 
 
+def cached_ddim_sample_loop(
+    process,
+    sched,
+    rng,
+    x_in,
+    apply_full,
+    apply_shallow,
+    steps: int,
+    eta: float = 0.0,
+    interval: int = 1,
+    clip_denoised: bool = True,
+    t_cond=None,
+    refresh_override=None,
+):
+    """Respaced DDIM chain (diffusion/ddim.py) with the deep-feature cache
+    in the scan carry — the two serving levers composed: S ≪ T steps AND
+    shallow-only forwards between refreshes.
+
+    Same x_in/t_cond contract as ddim_sample_loop; same cache/refresh
+    semantics as cached_p_sample_loop (interval over the S RESPACED steps;
+    interval=1 reproduces ddim_sample_loop up to compile-fusion rounding,
+    tested). Returns the final image.
+    """
+    assert isinstance(process, (SR3Process, DDPMProcess))
+    from .ddim import _ddim_setup, _ddim_update
+
+    img, cond, xs = _ddim_setup(process, sched, rng, x_in, steps, eta, t_cond)
+    S = int(xs[0].shape[0])
+    b = img.shape[0]
+    refresh = _refresh_flags(S, interval, refresh_override)
+
+    in_ch = img.shape[-1] + (cond.shape[-1] if cond is not None else 0)
+    net_in_sds = jax.ShapeDtypeStruct(img.shape[:-1] + (in_ch,), img.dtype)
+    lvl_sds = jax.ShapeDtypeStruct((b,), img.dtype)
+    deep_sds = jax.eval_shape(apply_full, net_in_sds, lvl_sds)[1]
+    deep0 = jnp.zeros(deep_sds.shape, deep_sds.dtype)
+
+    def body(carry, inp):
+        x, deep = carry
+        key, tc, sr, srm1, sq_ab_prev, sig, dirc, rf = inp
+        net_in = x if cond is None else jnp.concatenate([cond, x], axis=-1)
+        lvl = jnp.full((b,), tc, x.dtype)
+        eps, deep = jax.lax.cond(
+            rf > 0,
+            lambda op: apply_full(op[0], op[1]),
+            lambda op: apply_shallow(op[0], op[1], op[2]),
+            (net_in, lvl, deep),
+        )
+        x = _ddim_update(key, x, eps, sr, srm1, sq_ab_prev, sig, dirc,
+                         clip_denoised)
+        return (x, deep), None
+
+    (final, _), _ = jax.lax.scan(body, (img, deep0), xs + (refresh,))
+    return final
+
+
+def cached_ddim_sample_loop_chunked(
+    process,
+    sched,
+    rng,
+    x_in,
+    apply_full_p,
+    apply_shallow_p,
+    consts,
+    steps: int,
+    chunk_size: int,
+    eta: float = 0.0,
+    interval: int = 1,
+    clip_denoised: bool = True,
+    t_cond=None,
+    runner=None,
+):
+    """`cached_ddim_sample_loop` as ⌈S/K⌉ jitted K-step scans + a host loop
+    (the 512²-class shapes whose full program breaks the compiler). The deep
+    cache rides the chunk carry; params stay jit ARGUMENTS via
+    apply_full_p(consts, net_in, lvl) / apply_shallow_p(consts, net_in, lvl,
+    deep) (remote-compile payload limit). Pass a common.ChunkRunner to keep
+    the chunk compiles across serving calls."""
+    assert isinstance(process, (SR3Process, DDPMProcess))
+    from .ddim import _ddim_setup, _ddim_update
+
+    img, cond, xs = _ddim_setup(process, sched, rng, x_in, steps, eta, t_cond)
+    S = int(xs[0].shape[0])
+    b = img.shape[0]
+    refresh = _refresh_flags(S, interval, None)
+
+    in_ch = img.shape[-1] + (cond.shape[-1] if cond is not None else 0)
+    net_in_sds = jax.ShapeDtypeStruct(img.shape[:-1] + (in_ch,), img.dtype)
+    lvl_sds = jax.ShapeDtypeStruct((b,), img.dtype)
+    deep_sds = jax.eval_shape(
+        lambda c, ni, lvl: apply_full_p(c, ni, lvl), consts, net_in_sds, lvl_sds
+    )[1]
+    deep0 = jnp.zeros(deep_sds.shape, deep_sds.dtype)
+
+    def step_fn(cc, carry, inp):
+        p, c = cc
+        x, deep = carry
+        key, tc, sr, srm1, sq_ab_prev, sig, dirc, rf = inp
+        net_in = x if c is None else jnp.concatenate([c, x], axis=-1)
+        lvl = jnp.full((b,), tc, x.dtype)
+        eps, deep = jax.lax.cond(
+            rf > 0,
+            lambda op: apply_full_p(p, op[0], op[1]),
+            lambda op: apply_shallow_p(p, op[0], op[1], op[2]),
+            (net_in, lvl, deep),
+        )
+        x = _ddim_update(key, x, eps, sr, srm1, sq_ab_prev, sig, dirc,
+                         clip_denoised)
+        return (x, deep)
+
+    from .common import chunked_reverse_scan
+
+    (final, _) = chunked_reverse_scan(
+        step_fn, (consts, cond), (img, deep0), xs + (refresh,),
+        chunk_size, runner=runner,
+    )
+    return final
+
+
 def cached_p_sample_loop_chunked(
     process,
     sched,

@@ -442,7 +442,9 @@ class DiffusionModel:
         `steps=None`/`0` restores the exact ancestral chain; steps=S runs
         the reverse process as S respaced DDIM steps (diffusion/ddim.py) —
         ddpm/sr3 families only (InDI natively supports any step budget via
-        num_timesteps). Mutually exclusive with DeepCache / sliding-window.
+        num_timesteps). Composes with DeepCache (cached respaced chain,
+        interval over the S respaced steps); mutually exclusive with
+        sliding-window.
         """
         self.ddim = (int(steps), float(eta)) if steps else None
         self._infer_cache.clear()
@@ -506,12 +508,13 @@ class DiffusionModel:
         use_dc = self._deepcache_active(kind, continuous)
         use_sw = self._sliding_window_active(kind, continuous)
         use_dd = self._ddim_active(kind, continuous)
-        if sum((use_sw, use_dc, use_dd)) > 1:
+        if use_sw and (use_dc or use_dd):
             raise ValueError(
-                "model.deepcache / model.sliding_window / model.ddim are "
-                "mutually exclusive serving modes — unset all but one "
-                "(set_deepcache(None) / set_sliding_window(None) / "
-                "set_ddim(None))"
+                "model.sliding_window is mutually exclusive with "
+                "model.deepcache / model.ddim (different chain semantics) — "
+                "unset all but one (set_deepcache(None) / "
+                "set_sliding_window(None) / set_ddim(None)). DeepCache and "
+                "DDIM DO compose (cached respaced chain)."
             )
         chunkable = (
             self.sampler_chunk > 0 and not continuous and kind == "test"
@@ -532,6 +535,11 @@ class DiffusionModel:
                self.ddim if use_dd else None)
         if key in self._infer_cache:
             return self._infer_cache[key]
+        if use_dd and use_dc:
+            fn = self._build_ddim_deepcache_fn(clip_denoised, kind=kind,
+                                               shape=shape, chunked=dd_chunk)
+            self._infer_cache[key] = fn
+            return fn
         if use_dd:
             fn = self._build_ddim_fn(clip_denoised, kind=kind, shape=shape,
                                      chunked=dd_chunk)
@@ -838,6 +846,66 @@ class DiffusionModel:
                 x_src if x_src is not None else x_in,
                 steps=steps, eta=eta, clip_denoised=clip_denoised,
                 t_cond=t_cond)
+
+        return jax.jit(raw)
+
+    def _build_ddim_deepcache_fn(self, clip_denoised, kind="test", shape=None,
+                                 chunked=False):
+        """DDIM × DeepCache composition: the S-step respaced chain with the
+        deep-feature cache in the carry (diffusion/deepcache.py
+        cached_ddim_sample_loop[_chunked]). The refresh interval is resolved
+        over the RESPACED length S, not T (model.deepcache 'auto' uses the
+        same span rule as the exact chain)."""
+        from diffsplitting_tpu.diffusion.ddim import ddim_timesteps
+        from diffsplitting_tpu.models.deepcache import CachedUNet
+
+        steps, eta = self.ddim
+        depth = self.deepcache[1]
+        process, sched = self.process, self.current_sched
+        S = len(ddim_timesteps(sched.num_timesteps, steps))
+        interval = self._dc_interval(S)
+        x_src = shape if kind == "sample" else None
+        if self.which == "sr3":
+            _lvls = np.asarray(sched.sqrt_alphas_cumprod_prev)
+            t_cond = lambda t: _lvls[t + 1]  # noqa: E731
+        else:
+            t_cond = None
+
+        cnet = CachedUNet.from_unet(self.nets["net"], depth)
+
+        if chunked:
+            from diffsplitting_tpu.diffusion.common import ChunkRunner
+            from diffsplitting_tpu.diffusion.deepcache import (
+                cached_ddim_sample_loop_chunked,
+            )
+
+            chunk = self.sampler_chunk
+            runner = ChunkRunner()  # one compile for this cached fn's lifetime
+            full_p = lambda p, ni, lvl: cnet.apply({"params": p["net"]}, ni, lvl)  # noqa: E731
+            shallow_p = lambda p, ni, lvl, deep: cnet.apply(  # noqa: E731
+                {"params": p["net"]}, ni, lvl, deep)
+
+            def chunked_fn(params, x_in, rng):
+                # host loop over jitted K-step scans — params stay jit args
+                return cached_ddim_sample_loop_chunked(
+                    process, sched, rng,
+                    x_src if x_src is not None else x_in,
+                    full_p, shallow_p, params, steps=steps, chunk_size=chunk,
+                    eta=eta, interval=interval, clip_denoised=clip_denoised,
+                    t_cond=t_cond, runner=runner)
+
+            return chunked_fn
+
+        from diffsplitting_tpu.diffusion.deepcache import cached_ddim_sample_loop
+
+        def raw(params, x_in, rng):
+            full = lambda ni, lvl: cnet.apply({"params": params["net"]}, ni, lvl)  # noqa: E731
+            shallow = lambda ni, lvl, deep: cnet.apply(  # noqa: E731
+                {"params": params["net"]}, ni, lvl, deep)
+            return cached_ddim_sample_loop(
+                process, sched, rng, x_src if x_src is not None else x_in,
+                full, shallow, steps=steps, eta=eta, interval=interval,
+                clip_denoised=clip_denoised, t_cond=t_cond)
 
         return jax.jit(raw)
 

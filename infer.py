@@ -47,7 +47,9 @@ def main():
                         help="respaced DDIM serving: S steps through the "
                              "trained net instead of the full T-step chain "
                              "(default ETA 0 = deterministic). Final frames "
-                             "only; exclusive with the other accel modes.")
+                             "only; composes with --deepcache (cached "
+                             "respaced chain), exclusive with "
+                             "--sliding_window.")
     args = parser.parse_args()
 
     opt = Logger.parse(args)

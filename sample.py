@@ -43,8 +43,8 @@ def main():
     parser.add_argument("--ddim", type=str, default=None, metavar="S[,ETA]",
                         help="respaced DDIM serving for val-phase generation "
                              "(S steps, default ETA 0 = deterministic). "
-                             "Final frames only; exclusive with the other "
-                             "accel modes.")
+                             "Final frames only; composes with --deepcache, "
+                             "exclusive with --sliding_window.")
     args = parser.parse_args()
 
     opt = Logger.parse(args)

@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--etas", default="0.0")
     ap.add_argument("--timesteps", type=int, default=0,
                     help="override val n_timestep (0 = config value)")
+    ap.add_argument("--ema", action="store_true",
+                    help="serve the EMA weights (test(use_ema=True))")
+    ap.add_argument("--deepcache", type=str, default=None, metavar="K[,D]",
+                    help="also measure each (S, eta) with DeepCache composed "
+                         "(cached respaced chain, interval K over the S "
+                         "respaced steps, split depth D)")
     ap.add_argument("--out", default=os.path.join(REPO, "results/ddim/run.json"))
     args = ap.parse_args()
 
@@ -90,40 +96,49 @@ def main():
     # exact chunked chain baseline (the production default for long chains)
     model.sampler_chunk = 100
     model._rng_counter = 7
-    np.asarray(model.test(continuous=False))  # compile
+    np.asarray(model.test(continuous=False, use_ema=args.ema))  # compile
     model._rng_counter = 7
     t0 = time.perf_counter()
-    exact_img = np.asarray(model.test(continuous=False))
+    exact_img = np.asarray(model.test(continuous=False, use_ema=args.ema))
     exact_s = time.perf_counter() - t0
     exact_psnr, exact_ssim = task_metrics(exact_img)
     print(f"exact {T}-step chain: {exact_s:.1f}s ({T/exact_s:.1f} steps/s), "
           f"task {exact_psnr:.2f} dB / {exact_ssim:.3f}", flush=True)
 
-    results = {"batch": b, "T": T, "exact_s": exact_s,
+    results = {"batch": b, "T": T, "ema": bool(args.ema), "exact_s": exact_s,
                "exact_task_psnr": exact_psnr, "exact_task_ssim": exact_ssim,
                "rows": []}
 
+    dc_variants = [None]
+    if args.deepcache:
+        from diffsplitting_tpu.utils.cli import parse_accel_flag
+
+        dc_variants.append(parse_accel_flag(args.deepcache, 1, second_cast=int))
+
     for S in [int(s) for s in args.steps.split(",")]:
         for eta in [float(e) for e in args.etas.split(",")]:
-            model.set_ddim(S, eta)
-            model._rng_counter = 7
-            np.asarray(model.test(continuous=False))  # compile
-            model._rng_counter = 7
-            t0 = time.perf_counter()
-            img = np.asarray(model.test(continuous=False))
-            dt = time.perf_counter() - t0
-            ps, ss = task_metrics(img)
-            sim = float(np.mean([
-                calculate_psnr(tensor2img(img[i]), tensor2img(exact_img[i]))
-                for i in range(b)
-            ]))
-            row = {"steps": S, "eta": eta, "s": dt,
-                   "speedup_vs_exact": exact_s / dt,
-                   "task_psnr": ps, "task_ssim": ss,
-                   "psnr_vs_exact_output": sim}
-            results["rows"].append(row)
-            print(json.dumps(row), flush=True)
+            for dc in dc_variants:
+                model.set_ddim(S, eta)
+                model.set_deepcache(*(dc or (None,)))
+                model._rng_counter = 7
+                np.asarray(model.test(continuous=False, use_ema=args.ema))  # compile
+                model._rng_counter = 7
+                t0 = time.perf_counter()
+                img = np.asarray(model.test(continuous=False, use_ema=args.ema))
+                dt = time.perf_counter() - t0
+                ps, ss = task_metrics(img)
+                sim = float(np.mean([
+                    calculate_psnr(tensor2img(img[i]), tensor2img(exact_img[i]))
+                    for i in range(b)
+                ]))
+                row = {"steps": S, "eta": eta, "deepcache": dc, "s": dt,
+                       "speedup_vs_exact": exact_s / dt,
+                       "task_psnr": ps, "task_ssim": ss,
+                       "psnr_vs_exact_output": sim}
+                results["rows"].append(row)
+                print(json.dumps(row), flush=True)
     model.set_ddim(None)
+    model.set_deepcache(None)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

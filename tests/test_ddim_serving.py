@@ -58,14 +58,16 @@ def test_config_routes_and_unset_restores_exact(tmp_path):
                                   exact)
 
 
-def test_mutually_exclusive_with_other_accel_modes(tmp_path):
+def test_mutually_exclusive_with_sliding_window(tmp_path):
+    """DDIM composes with DeepCache (cached respaced chain,
+    tests/test_ddim_deepcache.py) but stays exclusive with sliding-window."""
     model = DiffusionModel(_sr3_opt(tmp_path, {"steps": 2}), seed=0)
     model.set_new_noise_schedule(model.opt["model"]["beta_schedule"]["val"], "val")
     model.feed_data({"input": synth_batch(b=1, in_ch=1, out_ch=1)["input"]})
 
     model.set_deepcache(2, 1)
-    with pytest.raises(ValueError, match="mutually"):
-        model.test(continuous=False)
+    out = np.asarray(model.test(continuous=False))  # composes, must run
+    assert np.isfinite(out).all()
     model.set_deepcache(None)
 
     model.set_sliding_window(4, 0.1)
