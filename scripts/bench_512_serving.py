@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--deepcache", default="5,1")
+    ap.add_argument("--ddim", type=int, default=0,
+                    help="also measure respaced DDIM at S steps (eta=1) and "
+                         "its DeepCache composition (0 = skip)")
     ap.add_argument("--timesteps", type=int, default=0,
                     help="override val n_timestep (0 = config value)")
     ap.add_argument("--skip_stepwise", action="store_true")
@@ -99,6 +102,17 @@ def main():
     model.set_deepcache(k, d)
     timed(f"chunked_deepcache_{k}_{d}")
     model.set_deepcache(None)
+
+    # respaced DDIM (eta=1, the quality-preserving setting) and the
+    # DDIM x DeepCache composition — the 512-class latency frontier
+    if args.ddim:
+        S = int(args.ddim)
+        model.set_ddim(S, 1.0)
+        timed(f"ddim_{S}_eta1")
+        model.set_deepcache(k, d)
+        timed(f"ddim_{S}_eta1_deepcache_{k}_{d}")
+        model.set_deepcache(None)
+        model.set_ddim(None)
 
     if not args.skip_stepwise:
         # stepwise fallback: jitted single step + host loop
