@@ -174,6 +174,25 @@ class DiffusionModel:
         self._warned_sw_continuous = False
         self._warned_dd_continuous = False
 
+        # ---------------- W8A8 quantized serving mode (opt-in; v5e's MXU
+        # runs s8×s8→s32 at 2× the bf16 rate — results/probe_int8.json.
+        # Config: model.quant: {bits: 8, calib: K, updown: bool, clip: r} —
+        # serving forwards route through the int8 walker
+        # (models/quant_unet.py) after a one-time activation-scale
+        # calibration. Approximate (like DeepCache); exact chain default.
+        q_opt = opt["model"].get("quant") or {}
+        self.quant = None
+        if q_opt.get("bits"):
+            if int(q_opt["bits"]) != 8:
+                raise ValueError("model.quant.bits: only 8 is supported")
+            self.quant = {
+                "calib": int(q_opt.get("calib") or 8),
+                "updown": bool(q_opt.get("updown", False)),
+                "shortcut": bool(q_opt.get("shortcut", False)),
+                "clip": float(q_opt.get("clip") or 1.0),
+            }
+        self._quant_trees: Dict = {}  # kind -> [(src_params, qtree), ...]
+
         # model.sampler_chunk: K>0 runs conditional sr3/ddpm test() as
         # ⌈T/K⌉ jitted K-step scan chunks + host loop — bit-identical to the
         # single scan, for shapes whose full-T program breaks the compiler
@@ -278,6 +297,15 @@ class DiffusionModel:
     def _apply(self, role, params, x, t, train=False, rng=None):
         net = self.nets[role]
         if not train:
+            # W8A8 param trees (model.quant) carry int8 kernels + scales at
+            # quantized conv sites — dispatched on the (static) tree
+            # structure, so one cached sampler serves both precisions
+            from diffsplitting_tpu.models.quant_unet import is_quantized_tree
+
+            if is_quantized_tree(params[role]):
+                from diffsplitting_tpu.models.quant_unet import quant_unet_apply
+
+                return quant_unet_apply(net, {"params": params[role]}, x, t)
             # apply_unet is the plain flax forward unless DSP_FUSED=1 opts in
             # to the Pallas conv+GN path — which is equality-tested but was
             # MEASURED SLOWER end-to-end on v5e (XLA already fuses conv+GN;
@@ -467,6 +495,149 @@ class DiffusionModel:
             return kind == "sample"
         return kind == "test"
 
+    def set_quant(self, bits, calib: int = 8, updown: bool = False,
+                  shortcut: bool = False, clip: float = 1.0):
+        """Toggle W8A8 quantized serving at runtime (CLI surfaces).
+
+        `bits=None`/`0` restores the bf16/f32 exact forward; bits=8 routes
+        test()/sample() denoiser forwards through the int8 MXU walker
+        (models/quant_unet.py) after a one-time activation-scale calibration
+        on the current serving inputs. `updown`/`shortcut` extend coverage
+        to the Down/Upsample and 1×1 shortcut convs; `clip` scales the
+        calibrated activation range (e.g. 0.9 clips the top 10%).
+        Mutually exclusive with DeepCache (CachedUNet binds the raw flax
+        tree); composes with DDIM, chunked sampling and sliding-window.
+        """
+        if bits:
+            if int(bits) != 8:
+                raise ValueError("set_quant: only 8-bit is supported")
+            self.quant = {"calib": int(calib), "updown": bool(updown),
+                          "shortcut": bool(shortcut), "clip": float(clip)}
+        else:
+            self.quant = None
+        self._quant_trees.clear()
+        self._infer_cache.clear()
+
+    def _calib_inputs(self, role: str, kind: str):
+        """Build the (net_in, t) calibration batch for one denoiser: rows
+        span the reverse chain's timesteps at the serving spatial shape.
+        Deterministic (fixed PRNG) so repeated serving sessions quantize
+        identically."""
+        K = max(2, self.quant["calib"])
+        rng = jax.random.PRNGKey(0xCA11B)
+        ch = self.opt["model"]["diffusion"]["channels"]
+        size = self.opt["model"]["diffusion"]["image_size"]
+
+        cond = None
+        if self.data is not None and "input" in self.data:
+            cond = jnp.asarray(self.data["input"][:1], jnp.float32)
+
+        if self.which in ("ddpm", "sr3"):
+            sched = self.current_sched
+            T = sched.num_timesteps
+            ts = np.unique(np.linspace(0, T - 1, K).astype(np.int64))
+            gam = np.asarray(sched.sqrt_alphas_cumprod_prev)[ts + 1]  # (K,)
+            use_cond = self.process.conditional and kind == "test" and cond is not None
+            if use_cond:
+                h, w = cond.shape[1], cond.shape[2]
+            else:
+                h = w = size
+            # x0 proxy: the conditioner when it matches the target channels
+            # (SR3: the upsampled LR is an excellent stand-in), else zeros —
+            # GroupNorm ahead of every quantized site makes the absmax
+            # insensitive to the exact proxy
+            if use_cond and cond.shape[-1] == ch:
+                x0p = cond
+            else:
+                x0p = jnp.zeros((1, h, w, ch), jnp.float32)
+            eps = jax.random.normal(rng, (len(ts), h, w, ch), jnp.float32)
+            g = jnp.asarray(gam, jnp.float32)[:, None, None, None]
+            x_t = g * x0p + jnp.sqrt(1.0 - g * g) * eps
+            if use_cond:
+                net_in = jnp.concatenate(
+                    [jnp.tile(cond, (len(ts), 1, 1, 1)), x_t], axis=-1)
+            else:
+                net_in = x_t
+            # sr3 nets see the continuous noise level, ddpm the (f32) step
+            tvec = (jnp.asarray(gam, jnp.float32) if self.which == "sr3"
+                    else jnp.asarray(ts, jnp.float32))
+            return net_in, tvec
+
+        # indi / joint_indi: the net walks bridge states x_t from t_start→0;
+        # calibrate on the (channel-tiled, bridge-noised) serving input at a
+        # spread of t values — mirroring inference's input construction
+        # (indi.py:170-173: x_t = tile(x_in) + ε·(t·e))
+        in_ch = self.nets[role].in_channel
+        if cond is None:
+            cond = jnp.zeros((1, size, size, in_ch), jnp.float32)
+        if cond.shape[-1] != in_ch:
+            assert in_ch % cond.shape[-1] == 0
+            cond = jnp.tile(cond, (1, 1, 1, in_ch // cond.shape[-1]))
+        tvals = np.linspace(1.0 / K, 1.0, K).astype(np.float32)
+        proc = self.process
+        if self.which == "joint_indi":
+            proc = proc.indi1 if role == "net_ch1" else proc.indi2
+        noise_scale = jnp.asarray(
+            [float(proc.get_t_times_e(jnp.float32(t))) for t in tvals],
+            jnp.float32)[:, None, None, None]
+        eps = jax.random.normal(rng, (K,) + cond.shape[1:], jnp.float32)
+        net_in = cond + eps * noise_scale
+        return net_in, jnp.asarray(tvals)
+
+    def _build_quant_tree(self, params, kind: str):
+        """Calibrate + quantize every denoiser role; returns the placed
+        W8A8 tree (models/quant_unet.py). One forward compile per role."""
+        from diffsplitting_tpu.models.quant_unet import (
+            collect_act_absmax,
+            iter_quant_sites,
+            quantize_unet_params,
+        )
+
+        q = self.quant
+        host = jax.device_get(params)
+        out = {}
+        for role, net in self.nets.items():
+            net_in, tvec = self._calib_inputs(role, kind)
+            stats_fn = jax.jit(
+                lambda v, xx, tt, _net=net: collect_act_absmax(
+                    _net, v, xx, tt)[1]
+            )
+            stats = jax.device_get(
+                stats_fn({"params": params[role]}, net_in, tvec))
+            out[role] = quantize_unet_params(
+                host[role], {k: float(v) for k, v in stats.items()},
+                updown=q["updown"], shortcut=q["shortcut"],
+                clip_ratio=q["clip"],
+            )
+            logger.info(
+                "W8A8: quantized %s (%d int8 conv sites, calib batch %d)",
+                role,
+                sum(1 for _ in iter_quant_sites(out[role])),
+                net_in.shape[0],
+            )
+        for k, v in host.items():
+            if k not in out:  # joint_indi 'extra' scalars
+                out[k] = v
+        return replicate(out, self.mesh)
+
+    def _maybe_quantize(self, params, kind: str):
+        if self.quant is None or kind not in ("test", "sample"):
+            return params
+        for src, qt in self._quant_trees.get(kind, []):
+            if src is params:
+                return qt
+        qt = self._build_quant_tree(params, kind)
+        self._quant_trees.setdefault(kind, []).append((params, qt))
+        return qt
+
+    def _serving_params(self, params, kind: str):
+        """Final param transform before a serving call: W8A8 when
+        model.quant is set (replaces the opt-in precast — incompatible
+        trees), else the precast hook."""
+        if self.quant is not None and kind in ("test", "sample"):
+            return self._maybe_quantize(params, kind)
+        return self._inference_params(params)
+
     def _dc_interval(self, T: int) -> int:
         """Resolve the refresh interval for a T-step chain.
 
@@ -508,6 +679,14 @@ class DiffusionModel:
         use_dc = self._deepcache_active(kind, continuous)
         use_sw = self._sliding_window_active(kind, continuous)
         use_dd = self._ddim_active(kind, continuous)
+        if use_dc and self.quant is not None:
+            raise ValueError(
+                "model.quant is mutually exclusive with model.deepcache "
+                "(CachedUNet binds the raw flax param tree, not the W8A8 "
+                "tree) — unset one (set_quant(None) / set_deepcache(None)). "
+                "W8A8 composes with DDIM, chunked sampling and "
+                "sliding-window."
+            )
         if use_sw and (use_dc or use_dd):
             raise ValueError(
                 "model.sliding_window is mutually exclusive with "
@@ -924,7 +1103,7 @@ class DiffusionModel:
             clip_denoised=clip_denoised,
         )
         params = self.ema_params if (use_ema and self.ema_params is not None) else self.params
-        self.prediction = fn(self._inference_params(params), x_in, self._next_rng())
+        self.prediction = fn(self._serving_params(params, "test"), x_in, self._next_rng())
         return self.prediction
 
     def inference(self, x_in, continuous=False, num_timesteps=None, t_float_start=None):
@@ -964,7 +1143,7 @@ class DiffusionModel:
         ch = self.opt["model"]["diffusion"]["channels"]
         shape = (batch_size, size, size, ch)
         fn = self._infer_fn("sample", shape, continuous)
-        self.prediction = fn(self._inference_params(self.params), None, self._next_rng())
+        self.prediction = fn(self._serving_params(self.params, "sample"), None, self._next_rng())
         return self.prediction
 
     # ------------------------------------------------------------- logging

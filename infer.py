@@ -50,6 +50,12 @@ def main():
                              "only; composes with --deepcache (cached "
                              "respaced chain), exclusive with "
                              "--sliding_window.")
+    parser.add_argument("--w8a8", action="store_true",
+                        help="W8A8 quantized serving: int8 MXU convs (2x "
+                             "peak rate on v5e) after a one-time "
+                             "activation-scale calibration. Approximate; "
+                             "composes with --ddim/--sliding_window, "
+                             "exclusive with --deepcache.")
     args = parser.parse_args()
 
     opt = Logger.parse(args)
@@ -77,6 +83,8 @@ def main():
         diffusion.set_sliding_window(*parse_accel_flag(args.sliding_window, 0.1))
     if args.ddim:
         diffusion.set_ddim(*parse_accel_flag(args.ddim, 0.0))
+    if args.w8a8:
+        diffusion.set_quant(8)
 
     logger.info("Begin Model Inference.")
     current_step, idx = 0, 0

@@ -61,6 +61,11 @@ def main():
                          "(default 0.1; 0 = exact frozen-noise chain). "
                          "Low-batch latency lever; exclusive with "
                          "--deepcache.")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="W8A8 quantized serving: int8 MXU convs (2x peak "
+                         "rate on v5e) after a one-time activation-scale "
+                         "calibration. Approximate; composes with "
+                         "--sliding_window, exclusive with --deepcache.")
     ap.add_argument("--png_preview", action="store_true")
     args = ap.parse_args()
 
@@ -101,6 +106,8 @@ def main():
             *parse_accel_flag(args.deepcache, 1, second_cast=int))
     if args.sliding_window:
         model.set_sliding_window(*parse_accel_flag(args.sliding_window, 0.1))
+    if args.w8a8:
+        model.set_quant(8)
     T = args.num_steps or int(opt["model"]["beta_schedule"]["val"]["n_timestep"])
     model.current_T = T
     model.schedule_phase = f"predict_{T}"

@@ -45,6 +45,10 @@ def main():
                              "(S steps, default ETA 0 = deterministic). "
                              "Final frames only; composes with --deepcache, "
                              "exclusive with --sliding_window.")
+    parser.add_argument("--w8a8", action="store_true",
+                        help="W8A8 quantized serving: int8 MXU convs (2x "
+                             "peak rate on v5e). Approximate; exclusive "
+                             "with --deepcache.")
     args = parser.parse_args()
 
     opt = Logger.parse(args)
@@ -71,6 +75,8 @@ def main():
         diffusion.set_sliding_window(*parse_accel_flag(args.sliding_window, 0.1))
     if args.ddim:
         diffusion.set_ddim(*parse_accel_flag(args.ddim, 0.0))
+    if args.w8a8:
+        diffusion.set_quant(8)
     # accelerated samplers (flags or config keys) keep no trajectory frames
     accel = (diffusion.deepcache is not None
              or diffusion.sliding_window is not None
