@@ -72,12 +72,31 @@ def _group_norm(x, scale, bias, num_groups: int, eps: float = GN_EPS):
 
 
 # ---------------------------------------------------------------- the walker
-def _forward(cfg, p, x, time, conv: ConvHook):
+def _forward(cfg, p, x, time, conv: ConvHook, cached_deep=None,
+             cache_depth=None):
     """Shared topology walk; `conv(site, node, h, strides)` implements every
-    conv site. `cfg` is the UNet module instance (static config)."""
+    conv site. `cfg` is the UNet module instance (static config).
+
+    With `cache_depth=d` the walk mirrors `models.deepcache.CachedUNet`'s
+    shallow/deep split exactly (same stage indices, same skip bookkeeping)
+    and returns `(out, deep)`: `cached_deep=None` runs the FULL forward and
+    emits the deep feature; a given `cached_deep` skips the deep encoder /
+    mid / deep decoder and runs only the shallow levels from the cache.
+    With `cache_depth=None` (default) it is the plain full walk returning
+    `out` alone — op-for-op the order of the original walker."""
     compute_dtype = cfg.dtype or x.dtype
     assert x.shape[-1] == cfg.in_channel
     x = x.astype(compute_dtype)
+
+    M = len(cfg.channel_mults)
+    if cache_depth is None:
+        assert cached_deep is None, "cached_deep requires cache_depth"
+        d = 1  # bookkeeping split only; full walk is d-invariant
+        full = True
+    else:
+        d = cache_depth
+        assert 1 <= d <= M - 1, f"cache_depth must be in [1,{M - 1}]"
+        full = cached_deep is None
 
     # ------------------------------------------------------------ conditioning
     if cfg.cond_type == "time":
@@ -127,57 +146,91 @@ def _forward(cfg, p, x, time, conv: ConvHook):
         out = conv(f"{site}/Conv_1", ap["Conv_1"], out)
         return out + h
 
-    rbwa = iter(range(10_000))
-    down_i = iter(range(10_000))
-    up_i = iter(range(10_000))
+    # Explicit stage/block indices matching UNet's flax auto-name creation
+    # order (and CachedUNet's formulas, models/deepcache.py:137-147):
+    # encoder stage s block b → s·rb+b; mid → M·rb, M·rb+1; decoder stage s
+    # (processed M-1..0) block b → M·rb+2 + (M-1-s)·(rb+1) + b.
+    rb_n = cfg.res_blocks
+    enc_i = lambda s, b: s * rb_n + b  # noqa: E731
+    dec_i = lambda s, b: M * rb_n + 2 + (M - 1 - s) * (rb_n + 1) + b  # noqa: E731
+    res_of = lambda s: cfg.image_size // (2 ** s)  # noqa: E731
 
-    def rb_with_attn(h, with_attn):
-        name = f"ResnetBlockWithAttn_{next(rbwa)}"
+    def rb_at(i, h, with_attn):
+        name = f"ResnetBlockWithAttn_{i}"
         rp = p[name]
         h = resnet(rp["ResnetBlock_0"], f"{name}/ResnetBlock_0", h)
         if with_attn:
             h = attention(rp["SelfAttention_0"], f"{name}/SelfAttention_0", h)
         return h
 
-    num_mults = len(cfg.channel_mults)
-    now_res = cfg.image_size
+    def downsample(s, h):
+        name = f"Downsample_{s}"
+        return conv(f"{name}/Conv_0", p[name]["Conv_0"], h, strides=(2, 2))
 
-    # ---------------------------------------------------------------- encoder
+    def upsample(s, h):  # decoder stage s → Upsample_{M-1-s}
+        h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+        name = f"Upsample_{M - 1 - s}"
+        return conv(f"{name}/Conv_0", p[name]["Conv_0"], h)
+
+    # -------------------------------------------------------- shallow encoder
     h = conv("Conv_0", p["Conv_0"], x)
     feats = [h]
-    for ind in range(num_mults):
-        is_last = ind == num_mults - 1
-        use_attn = now_res in cfg.attn_res
-        for _ in range(cfg.res_blocks):
-            h = rb_with_attn(h, use_attn)
+    for s in range(d):
+        use_attn = res_of(s) in cfg.attn_res
+        for b in range(rb_n):
+            h = rb_at(enc_i(s, b), h, use_attn)
             feats.append(h)
-        if not is_last:
-            name = f"Downsample_{next(down_i)}"
-            h = conv(f"{name}/Conv_0", p[name]["Conv_0"], h, strides=(2, 2))
-            feats.append(h)
-            now_res //= 2
+        # stage s's Downsample feeds stage s+1; stage d-1's is consumed ONLY
+        # by the deep part (as its input and its last-popped skip)
+        if s < d - 1 or full:
+            h = downsample(s, h)
+            if s < d - 1:
+                feats.append(h)
 
-    # -------------------------------------------------------------------- mid
-    h = rb_with_attn(h, True)
-    h = rb_with_attn(h, False)
+    if full:
+        deep_feats = [h]  # stage d-1's Downsample output
+        # ----------------------------------------------------- deep encoder
+        for s in range(d, M):
+            use_attn = res_of(s) in cfg.attn_res
+            for b in range(rb_n):
+                h = rb_at(enc_i(s, b), h, use_attn)
+                deep_feats.append(h)
+            if s != M - 1:
+                h = downsample(s, h)
+                deep_feats.append(h)
 
-    # ---------------------------------------------------------------- decoder
-    for ind in reversed(range(num_mults)):
-        is_last = ind < 1
-        use_attn = now_res in cfg.attn_res
-        for _ in range(cfg.res_blocks + 1):
+        # --------------------------------------------------------------- mid
+        h = rb_at(M * rb_n, h, True)
+        h = rb_at(M * rb_n + 1, h, False)
+
+        # ----------------------------------------------------- deep decoder
+        for s in range(M - 1, d - 1, -1):
+            use_attn = res_of(s) in cfg.attn_res
+            for b in range(rb_n + 1):
+                skip = deep_feats.pop()
+                h = rb_at(dec_i(s, b), jnp.concatenate([h, skip], axis=-1),
+                          use_attn)
+            h = upsample(s, h)
+        assert not deep_feats
+        deep = h
+    else:
+        deep = cached_deep.astype(compute_dtype)
+        h = deep
+
+    # -------------------------------------------------------- shallow decoder
+    for s in range(d - 1, -1, -1):
+        use_attn = res_of(s) in cfg.attn_res
+        for b in range(rb_n + 1):
             skip = feats.pop()
-            h = rb_with_attn(jnp.concatenate([h, skip], axis=-1), use_attn)
-        if not is_last:
-            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-            name = f"Upsample_{next(up_i)}"
-            h = conv(f"{name}/Conv_0", p[name]["Conv_0"], h)
-            now_res *= 2
+            h = rb_at(dec_i(s, b), jnp.concatenate([h, skip], axis=-1),
+                      use_attn)
+        if s >= 1:
+            h = upsample(s, h)
     assert not feats
 
     # ------------------------------------------------------------------- head
-    h = block(p["Block_0"], "Block_0", h)
-    return h.astype(jnp.float32)
+    out = block(p["Block_0"], "Block_0", h).astype(jnp.float32)
+    return out if cache_depth is None else (out, deep)
 
 
 # ------------------------------------------------------------- public modes
@@ -213,6 +266,27 @@ def quant_unet_apply(net, variables, x, time=None):
         return _conv_xla(node, h, strides=strides)
 
     return _forward(net, variables["params"], x, time, conv)
+
+
+def cached_unet_apply(net, variables, x, time=None, cached_deep=None, *,
+                      cache_depth: int):
+    """Cache-split walker with per-node precision dispatch — the
+    DeepCache × W8A8 composition point.
+
+    Same contract as `models.deepcache.CachedUNet.__call__`: full forward
+    (`cached_deep=None`) returns `(out, deep)`; a given `cached_deep` runs
+    only the shallow levels. Plain param trees run XLA convs (equal to
+    `CachedUNet.apply` — tested in tests/test_quant_deepcache.py); W8A8
+    trees (quantize_unet_params) run s8×s8→s32 MXU convs at quantized
+    sites, so the cached samplers (diffusion/deepcache.py) serve int8
+    shallow AND full passes unchanged."""
+    def conv(site, node, h, strides=(1, 1)):
+        if "kernel_i8" in node:
+            return quant_conv_apply(node, h, strides=strides)
+        return _conv_xla(node, h, strides=strides)
+
+    return _forward(net, variables["params"], x, time, conv, cached_deep,
+                    cache_depth)
 
 
 # -------------------------------------------------------- tree transformation

@@ -192,6 +192,7 @@ class DiffusionModel:
                 "clip": float(q_opt.get("clip") or 1.0),
             }
         self._quant_trees: Dict = {}  # kind -> [(src_params, qtree), ...]
+        self._cached_nets: Dict = {}  # (role, depth) -> CachedUNet
 
         # model.sampler_chunk: K>0 runs conditional sr3/ddpm test() as
         # ⌈T/K⌉ jitted K-step scan chunks + host loop — bit-identical to the
@@ -315,6 +316,32 @@ class DiffusionModel:
             return apply_unet(net, {"params": params[role]}, x, t)
         rngs = {"dropout": rng} if rng is not None else None
         return net.apply({"params": params[role]}, x, t, deterministic=False, rngs=rngs)
+
+    def _cached_apply(self, role, depth, params, xin, lvl, deep=None):
+        """DeepCache forward with the same structure dispatch as `_apply`:
+        W8A8 param trees (model.quant) route through the cache-split walker
+        (models/quant_unet.py cached_unet_apply — int8 MXU convs in BOTH the
+        full refresh and the shallow pass), plain trees through the flax
+        re-assembly (models/deepcache.py CachedUNet). Identical
+        `(out, deep)` contract either way, so every cached sampler in
+        diffusion/deepcache.py serves both precisions unchanged."""
+        pr = params[role]
+        from diffsplitting_tpu.models.quant_unet import is_quantized_tree
+
+        if is_quantized_tree(pr):
+            from diffsplitting_tpu.models.quant_unet import cached_unet_apply
+
+            return cached_unet_apply(self.nets[role], {"params": pr}, xin,
+                                     lvl, deep, cache_depth=depth)
+        cnet = self._cached_nets.get((role, depth))
+        if cnet is None:
+            from diffsplitting_tpu.models.deepcache import CachedUNet
+
+            cnet = CachedUNet.from_unet(self.nets[role], depth)
+            self._cached_nets[(role, depth)] = cnet
+        if deep is None:
+            return cnet.apply({"params": pr}, xin, lvl)
+        return cnet.apply({"params": pr}, xin, lvl, deep)
 
     def _build_train_step(self):
         process, which = self.process, self.which
@@ -505,8 +532,9 @@ class DiffusionModel:
         on the current serving inputs. `updown`/`shortcut` extend coverage
         to the Down/Upsample and 1×1 shortcut convs; `clip` scales the
         calibrated activation range (e.g. 0.9 clips the top 10%).
-        Mutually exclusive with DeepCache (CachedUNet binds the raw flax
-        tree); composes with DDIM, chunked sampling and sliding-window.
+        Composes with DeepCache (the cache-split walker serves int8 full
+        AND shallow passes, `_cached_apply`), DDIM, chunked sampling and
+        sliding-window.
         """
         if bits:
             if int(bits) != 8:
@@ -679,14 +707,6 @@ class DiffusionModel:
         use_dc = self._deepcache_active(kind, continuous)
         use_sw = self._sliding_window_active(kind, continuous)
         use_dd = self._ddim_active(kind, continuous)
-        if use_dc and self.quant is not None:
-            raise ValueError(
-                "model.quant is mutually exclusive with model.deepcache "
-                "(CachedUNet binds the raw flax param tree, not the W8A8 "
-                "tree) — unset one (set_quant(None) / set_deepcache(None)). "
-                "W8A8 composes with DDIM, chunked sampling and "
-                "sliding-window."
-            )
         if use_sw and (use_dc or use_dd):
             raise ValueError(
                 "model.sliding_window is mutually exclusive with "
@@ -810,8 +830,6 @@ class DiffusionModel:
 
         Params stay jit ARGUMENTS (EMA weights work; closure-captured trees
         also blow the tunnel's remote-compile payload limit, CLAUDE.md)."""
-        from diffsplitting_tpu.models.deepcache import CachedUNet
-
         depth = self.deepcache[1]
         interval = self._dc_interval(
             self.current_T if self.which in ("indi", "joint_indi")
@@ -820,15 +838,13 @@ class DiffusionModel:
         process, which = self.process, self.which
 
         def appliers(role):
-            cnet = CachedUNet.from_unet(self.nets[role], depth)
-
             def full(params):
-                return lambda xin, lvl: cnet.apply({"params": params[role]}, xin, lvl)
+                return lambda xin, lvl: self._cached_apply(
+                    role, depth, params, xin, lvl)
 
             def shallow(params):
-                return lambda xin, lvl, deep: cnet.apply(
-                    {"params": params[role]}, xin, lvl, deep
-                )
+                return lambda xin, lvl, deep: self._cached_apply(
+                    role, depth, params, xin, lvl, deep)
 
             return full, shallow
 
@@ -889,21 +905,19 @@ class DiffusionModel:
         from diffsplitting_tpu.diffusion.deepcache import (
             cached_p_sample_loop_chunked,
         )
-        from diffsplitting_tpu.models.deepcache import CachedUNet
 
         from diffsplitting_tpu.diffusion.common import ChunkRunner
 
         depth = self.deepcache[1]
         process, sched, chunk = self.process, self.current_sched, self.sampler_chunk
         interval = self._dc_interval(sched.num_timesteps)
-        cnet = CachedUNet.from_unet(self.nets["net"], depth)
         runner = ChunkRunner()  # one compile for this cached fn's lifetime
 
         def fn(params, x_in, rng):
-            full = lambda p, ni, lvl: cnet.apply({"params": p["net"]}, ni, lvl)
-            shallow = lambda p, ni, lvl, deep: cnet.apply(
-                {"params": p["net"]}, ni, lvl, deep
-            )
+            full = lambda p, ni, lvl: self._cached_apply(
+                "net", depth, p, ni, lvl)
+            shallow = lambda p, ni, lvl, deep: self._cached_apply(
+                "net", depth, p, ni, lvl, deep)
             return cached_p_sample_loop_chunked(
                 process, sched, rng, x_in, full, shallow, params,
                 interval=interval, clip_denoised=clip_denoised,
@@ -1036,7 +1050,6 @@ class DiffusionModel:
         over the RESPACED length S, not T (model.deepcache 'auto' uses the
         same span rule as the exact chain)."""
         from diffsplitting_tpu.diffusion.ddim import ddim_timesteps
-        from diffsplitting_tpu.models.deepcache import CachedUNet
 
         steps, eta = self.ddim
         depth = self.deepcache[1]
@@ -1050,8 +1063,6 @@ class DiffusionModel:
         else:
             t_cond = None
 
-        cnet = CachedUNet.from_unet(self.nets["net"], depth)
-
         if chunked:
             from diffsplitting_tpu.diffusion.common import ChunkRunner
             from diffsplitting_tpu.diffusion.deepcache import (
@@ -1060,9 +1071,10 @@ class DiffusionModel:
 
             chunk = self.sampler_chunk
             runner = ChunkRunner()  # one compile for this cached fn's lifetime
-            full_p = lambda p, ni, lvl: cnet.apply({"params": p["net"]}, ni, lvl)  # noqa: E731
-            shallow_p = lambda p, ni, lvl, deep: cnet.apply(  # noqa: E731
-                {"params": p["net"]}, ni, lvl, deep)
+            full_p = lambda p, ni, lvl: self._cached_apply(  # noqa: E731
+                "net", depth, p, ni, lvl)
+            shallow_p = lambda p, ni, lvl, deep: self._cached_apply(  # noqa: E731
+                "net", depth, p, ni, lvl, deep)
 
             def chunked_fn(params, x_in, rng):
                 # host loop over jitted K-step scans — params stay jit args
@@ -1078,9 +1090,10 @@ class DiffusionModel:
         from diffsplitting_tpu.diffusion.deepcache import cached_ddim_sample_loop
 
         def raw(params, x_in, rng):
-            full = lambda ni, lvl: cnet.apply({"params": params["net"]}, ni, lvl)  # noqa: E731
-            shallow = lambda ni, lvl, deep: cnet.apply(  # noqa: E731
-                {"params": params["net"]}, ni, lvl, deep)
+            full = lambda ni, lvl: self._cached_apply(  # noqa: E731
+                "net", depth, params, ni, lvl)
+            shallow = lambda ni, lvl, deep: self._cached_apply(  # noqa: E731
+                "net", depth, params, ni, lvl, deep)
             return cached_ddim_sample_loop(
                 process, sched, rng, x_src if x_src is not None else x_in,
                 full, shallow, steps=steps, eta=eta, interval=interval,

@@ -54,8 +54,8 @@ def main():
                         help="W8A8 quantized serving: int8 MXU convs (2x "
                              "peak rate on v5e) after a one-time "
                              "activation-scale calibration. Approximate; "
-                             "composes with --ddim/--sliding_window, "
-                             "exclusive with --deepcache.")
+                             "composes with --ddim, --deepcache and "
+                             "--sliding_window.")
     args = parser.parse_args()
 
     opt = Logger.parse(args)

@@ -65,7 +65,7 @@ def main():
                     help="W8A8 quantized serving: int8 MXU convs (2x peak "
                          "rate on v5e) after a one-time activation-scale "
                          "calibration. Approximate; composes with "
-                         "--sliding_window, exclusive with --deepcache.")
+                         "--deepcache and --sliding_window.")
     ap.add_argument("--png_preview", action="store_true")
     args = ap.parse_args()
 

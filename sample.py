@@ -47,8 +47,8 @@ def main():
                              "exclusive with --sliding_window.")
     parser.add_argument("--w8a8", action="store_true",
                         help="W8A8 quantized serving: int8 MXU convs (2x "
-                             "peak rate on v5e). Approximate; exclusive "
-                             "with --deepcache.")
+                             "peak rate on v5e). Approximate; composes "
+                             "with --deepcache/--ddim.")
     args = parser.parse_args()
 
     opt = Logger.parse(args)

@@ -194,3 +194,18 @@ def test_predict_cli(tmp_path):
     ch0 = load_tiff_stack(str(tmp_path / "pred" / "pred_ch0.tif"))
     assert ch0.shape == (1, 64, 64)
     assert (tmp_path / "pred" / "preview_ch0.png").exists()
+
+    # composed accelerators through the same CLI: W8A8 × DeepCache (the
+    # int8 cache-split walker, models/quant_unet.py cached_unet_apply)
+    res = run_cli(
+        "predict.py",
+        ["-c", str(cfg_path), "--resume", str(ckpt_dir / "I1_E1"),
+         "--input", str(tmp_path / "mixed.tif"),
+         "--out", str(tmp_path / "pred_q"),
+         "--num_steps", "2", "--batch_size", "4",
+         "--w8a8", "--deepcache", "1,1"],
+        cwd=repo,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    q0 = load_tiff_stack(str(tmp_path / "pred_q" / "pred_ch0.tif"))
+    assert q0.shape == (1, 64, 64) and np.isfinite(q0).all()

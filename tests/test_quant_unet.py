@@ -5,7 +5,8 @@ The int8 walker is a serving accelerator for v5e's 2× int8 MXU rate
 with `UNet.apply` when nothing is quantized, (2) the calibrate→quantize→apply
 round trip staying close to the exact forward, and (3) the production
 surfaces: `model.quant` config / `set_quant()` routing `DiffusionModel.test()`
-through the int8 forward, composing with DDIM/chunked and refusing DeepCache.
+through the int8 forward, composing with DDIM/chunked sampling (the
+DeepCache composition lives in tests/test_quant_deepcache.py).
 """
 
 import jax
@@ -180,10 +181,12 @@ def test_quant_composes_with_ddim_and_refuses_deepcache(tmp_path):
     out = np.asarray(model.test(continuous=False))
     assert out.shape == (1, 16, 16, 1) and np.isfinite(out).all()
 
+    # W8A8 × DeepCache compose (the cache-split walker serves int8 full and
+    # shallow passes; equality tests in tests/test_quant_deepcache.py)
     model.set_ddim(None)
     model.set_deepcache(2, 1)
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        model.test(continuous=False)
+    out = np.asarray(model.test(continuous=False))
+    assert out.shape == (1, 16, 16, 1) and np.isfinite(out).all()
 
 
 def test_quant_serving_indi(tmp_path):
