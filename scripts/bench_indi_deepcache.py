@@ -56,9 +56,12 @@ def main():
         jnp.float32,
     )
     vs = [
-        init_on_host(net.init, jax.random.PRNGKey(i),
-                     jnp.zeros((1, args.size, args.size, 2)), jnp.ones((1,)))
-        for i in range(2)
+        jax.device_put(
+            init_on_host(net.init, jax.random.PRNGKey(i),
+                         jnp.zeros((1, args.size, args.size, 2)),
+                         jnp.ones((1,))),
+            jax.devices()[0])  # init_on_host leaves the tree CPU-committed;
+        for i in range(2)      # unplaced args re-feed through the tunnel
     ]
 
     def time_fn(jfn, *a, reps=3):

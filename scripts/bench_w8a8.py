@@ -51,6 +51,10 @@ def main():
                     help="also quantize 1×1 shortcut convs")
     ap.add_argument("--ddim", type=int, default=0,
                     help="also bench the S-step respaced DDIM chain both ways")
+    ap.add_argument("--deepcache", type=str, default=None, metavar="K,D",
+                    help="also bench W8A8 x DeepCache (cached int8 chain, "
+                         "refresh interval K, split depth D) vs the bf16 "
+                         "cached chain")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny net + T=4 (CPU correctness smoke)")
     ap.add_argument("--out", default=os.path.join(REPO, "results/bench_w8a8.json"))
@@ -66,6 +70,7 @@ def main():
     from diffsplitting_tpu.diffusion import SR3Process, build_ddpm_schedule
     from diffsplitting_tpu.models import UNet
     from diffsplitting_tpu.models.quant_unet import (
+        cached_unet_apply,
         collect_act_absmax,
         plain_unet_apply,
         quant_unet_apply,
@@ -94,7 +99,11 @@ def main():
     cond = jax.device_put(rng.normal(size=(B, img, img, 3)).astype(np.float32))
     params = init_on_host(net.init, jax.random.PRNGKey(0),
                           jnp.zeros((1, img, img, 6)), jnp.ones((1,)))["params"]
-    params = jax.device_put(params)
+    # init_on_host leaves the tree on the CPU backend — device_put MUST name
+    # the accelerator or the arrays stay CPU-committed and every chain call
+    # re-feeds ~360MB of f32 params through the tunnel (~9s/call, measured:
+    # the bf16 legs read 12.1s instead of 3.2s until this was explicit)
+    params = jax.device_put(params, jax.devices()[0])
 
     # ---------------------------------------------------------- calibration
     t0 = time.perf_counter()
@@ -133,6 +142,11 @@ def main():
 
     key = jax.random.PRNGKey(3)
     rows = {}
+    # the PRODUCTION bf16 baseline is the flax forward (what test() serves
+    # when model.quant is unset) — time it alongside the walker so the
+    # speedup is honest even if the walker and flax compile differently
+    flax_apply = lambda n, v, x, t: n.apply(v, x, t)  # noqa: E731
+    dt_f = timed(chain(flax_apply), params, cond, key)
     dt_b = timed(chain(plain_unet_apply), params, cond, key)
     dt_q = timed(chain(quant_unet_apply), qparams, cond, key)
     fps = unet_forward_flops(image_size=img, in_channel=6, out_channel=3,
@@ -140,14 +154,50 @@ def main():
                              attn_res=attn, res_blocks=rb, cond=True, batch=B)
     peak = 197e12
     rows["exact"] = {
-        "bf16_s": round(dt_b, 3), "w8a8_s": round(dt_q, 3),
-        "speedup": round(dt_b / dt_q, 3),
-        "bf16_steps_per_s": round(T / dt_b, 2),
+        "bf16_flax_s": round(dt_f, 3),
+        "bf16_walker_s": round(dt_b, 3), "w8a8_s": round(dt_q, 3),
+        "speedup_vs_flax": round(dt_f / dt_q, 3),
+        "speedup_vs_walker": round(dt_b / dt_q, 3),
+        "bf16_steps_per_s": round(T / dt_f, 2),
         "w8a8_steps_per_s": round(T / dt_q, 2),
-        "bf16_mfu": round(fps * T / dt_b / peak, 4),
+        "bf16_mfu": round(fps * T / dt_f / peak, 4),
         "w8a8_effective_mfu": round(fps * T / dt_q / peak, 4),
     }
     print("exact:", rows["exact"], flush=True)
+
+    if args.deepcache:
+        from diffsplitting_tpu.diffusion.deepcache import cached_p_sample_loop
+        from diffsplitting_tpu.models.deepcache import CachedUNet
+
+        iv, depth = (int(v) for v in args.deepcache.split(","))
+        cnet = CachedUNet.from_unet(net, depth)
+
+        def dc_chain(quant):
+            def f(p, c, r):
+                if quant:
+                    full = lambda ni, lvl: cached_unet_apply(  # noqa: E731
+                        net, {"params": p}, ni, lvl, cache_depth=depth)
+                    shal = lambda ni, lvl, deep: cached_unet_apply(  # noqa: E731
+                        net, {"params": p}, ni, lvl, deep, cache_depth=depth)
+                else:
+                    full = lambda ni, lvl: cnet.apply({"params": p}, ni, lvl)  # noqa: E731
+                    shal = lambda ni, lvl, deep: cnet.apply(  # noqa: E731
+                        {"params": p}, ni, lvl, deep)
+                img_out = cached_p_sample_loop(
+                    process, sched, r, c, full, shal, interval=iv)
+                return jnp.sum(img_out.astype(jnp.float32))
+            return jax.jit(f)
+
+        cb = timed(dc_chain(False), params, cond, key)
+        cq = timed(dc_chain(True), qparams, cond, key)
+        rows[f"deepcache{iv},{depth}"] = {
+            "bf16_s": round(cb, 3), "w8a8_s": round(cq, 3),
+            "speedup": round(cb / cq, 3),
+            "w8a8_vs_bf16_exact": round(dt_f / cq, 3),
+            "w8a8_steps_per_s": round(T / cq, 2),
+        }
+        print(f"deepcache{iv},{depth}:", rows[f"deepcache{iv},{depth}"],
+              flush=True)
 
     if args.ddim:
         from diffsplitting_tpu.diffusion.ddim import ddim_sample_loop

@@ -113,6 +113,10 @@ def main():
                          "loop instead of the scanned chain (the 512d "
                          "2000-step scan compile crashes this tunnel's TPU "
                          "worker; the small per-step program compiles fine)")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="W8A8 quantized sampling (set_quant(8); composes "
+                         "with --deepcache/--chunk) — scores int8 task "
+                         "quality on the trained checkpoint")
     ap.add_argument("--deepcache", type=str, default=None, metavar="K[,D]",
                     help="DeepCache serving during sampling (composes with "
                          "--chunk: the cache rides the chunk carry)")
@@ -231,6 +235,9 @@ def main():
         parts = [int(v) for v in args.deepcache.split(",")]
         model.set_deepcache(parts[0], parts[1] if len(parts) > 1 else 1)
         print(f"deepcache sampling: interval {parts[0]}", flush=True)
+    if args.w8a8 and not args.stepwise:
+        model.set_quant(8)
+        print("w8a8 sampling: int8 MXU convs", flush=True)
     chunks = []
     if args.stepwise:
         import jax
