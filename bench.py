@@ -87,6 +87,48 @@ def build():
         params = cast_unet_params_for_inference(params)
     params = jax.device_put(params, jax.devices()[0])
 
+    # DSP_W8A8="1"|"all": serve the chain through the int8 MXU walker
+    # (models/quant_unet.py; "all" extends coverage to Down/Upsample and 1×1
+    # shortcut convs). Measured serving mode (BENCH_NOTES round 3: 1.18×
+    # default sites, 1.27× all-sites over the bf16 exact chain at b32, task
+    # quality holding on trained checkpoints) — NOT the default headline path.
+    w8 = os.environ.get("DSP_W8A8")
+    qparams = None
+    if w8:
+        import numpy as np
+
+        from diffsplitting_tpu.models.quant_unet import (
+            collect_act_absmax,
+            quantize_unet_params,
+        )
+
+        wide = w8.lower() == "all"
+        K = 8
+        ts = np.unique(np.linspace(0, STEPS - 1, K).astype(np.int64))
+        gam = np.asarray(sched.sqrt_alphas_cumprod_prev)[ts + 1]
+        g = jnp.asarray(gam, jnp.float32)[:, None, None, None]
+        eps = jax.random.normal(jax.random.PRNGKey(7), (len(ts), IMG, IMG, 3))
+        x_t = jnp.sqrt(1 - g * g) * eps  # zero-image x0 proxy (random-init net)
+        calib_in = jnp.concatenate([jnp.zeros_like(x_t), x_t], -1)
+        stats_fn = jax.jit(
+            lambda p, xx, tt: collect_act_absmax(net, p, xx, tt)[1]
+        )
+        stats = {
+            k: float(v)
+            for k, v in jax.device_get(
+                stats_fn(params, calib_in, jnp.asarray(gam, jnp.float32))
+            ).items()
+        }
+        qparams = jax.device_put(
+            {
+                "params": quantize_unet_params(
+                    jax.device_get(params)["params"], stats,
+                    updown=wide, shortcut=wide,
+                )
+            },
+            jax.devices()[0],
+        )
+
     # DSP_DEEPCACHE="k[,d]": deep-feature-cached sampling (full refresh every
     # k steps, split at encoder stage d). Approximate serving mode — measured
     # speed + fidelity in BENCH_NOTES; NOT the default headline path.
@@ -99,6 +141,20 @@ def build():
             make_cached_denoisers,
         )
 
+        if qparams is not None:
+            from diffsplitting_tpu.models.quant_unet import cached_unet_apply
+
+            def sample_dc_q(params, cond, rng):
+                full = lambda ni, lvl: cached_unet_apply(  # noqa: E731
+                    net, params, ni, lvl, cache_depth=depth)
+                shallow = lambda ni, lvl, deep: cached_unet_apply(  # noqa: E731
+                    net, params, ni, lvl, deep, cache_depth=depth)
+                return cached_p_sample_loop(
+                    process, sched, rng, cond, full, shallow, interval=interval,
+                )
+
+            return jax.jit(sample_dc_q), qparams, x
+
         def sample_dc(params, cond, rng):
             full, shallow, cnet = make_cached_denoisers(net, params, depth)
             return cached_p_sample_loop(
@@ -106,6 +162,15 @@ def build():
             )
 
         return jax.jit(sample_dc), params, x
+
+    if qparams is not None:
+        from diffsplitting_tpu.models.quant_unet import quant_unet_apply
+
+        def sample_q(params, cond, rng):
+            denoise = lambda xx, tt: quant_unet_apply(net, params, xx, tt)  # noqa: E731
+            return process.p_sample_loop(denoise, sched, rng, cond, continuous=False)
+
+        return jax.jit(sample_q), qparams, x
 
     def sample(params, cond, rng):
         from diffsplitting_tpu.models import apply_unet
@@ -158,6 +223,10 @@ def main():
 
     dc = os.environ.get("DSP_DEEPCACHE")
     dc_tag = f"_deepcache{dc.replace(',', 'x')}" if dc else ""
+    w8 = os.environ.get("DSP_W8A8")
+    if w8:
+        # MFU is then EFFECTIVE MFU: bf16-equivalent FLOPs over the int8 chain
+        dc_tag += "_w8a8all" if w8.lower() == "all" else "_w8a8"
     print(
         json.dumps(
             {

@@ -66,6 +66,11 @@ def main():
                          "rate on v5e) after a one-time activation-scale "
                          "calibration. Approximate; composes with "
                          "--deepcache and --sliding_window.")
+    ap.add_argument("--w8a8_sites", choices=["default", "all"],
+                    default="default",
+                    help="'all' extends int8 coverage to Down/Upsample and "
+                         "1×1 shortcut convs (1.27x vs 1.18x exact chain; "
+                         "rel-L2 0.051 vs 0.038)")
     ap.add_argument("--png_preview", action="store_true")
     args = ap.parse_args()
 
@@ -107,7 +112,8 @@ def main():
     if args.sliding_window:
         model.set_sliding_window(*parse_accel_flag(args.sliding_window, 0.1))
     if args.w8a8:
-        model.set_quant(8)
+        wide = args.w8a8_sites == "all"
+        model.set_quant(8, updown=wide, shortcut=wide)
     T = args.num_steps or int(opt["model"]["beta_schedule"]["val"]["n_timestep"])
     model.current_T = T
     model.schedule_phase = f"predict_{T}"

@@ -44,7 +44,18 @@ def main():
                          "its DeepCache composition (0 = skip)")
     ap.add_argument("--timesteps", type=int, default=0,
                     help="override val n_timestep (0 = config value)")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="also measure the int8 walker on each route "
+                         "(chunked exact / +DeepCache / +DDIM)")
+    ap.add_argument("--w8a8_sites", choices=["default", "all"],
+                    default="default",
+                    help="'all' extends int8 coverage to Down/Upsample and "
+                         "1×1 shortcut convs (set_quant updown+shortcut)")
     ap.add_argument("--skip_stepwise", action="store_true")
+    ap.add_argument("--skip_bf16", action="store_true",
+                    help="skip the bf16 routes (already measured in "
+                         "results/serving_512*.json); time only the "
+                         "--w8a8 legs")
     ap.add_argument("--out", default=os.path.join(REPO, "results/serving_512.json"))
     args = ap.parse_args()
 
@@ -93,26 +104,47 @@ def main():
         results["routes"][name] = row
         print(name, json.dumps(row), flush=True)
 
-    # chunked exact (the production default for 512-class chains)
-    model.sampler_chunk = args.chunk
-    timed("chunked_exact")
-
-    # chunked + DeepCache
     k, d = (int(v) for v in args.deepcache.split(","))
-    model.set_deepcache(k, d)
-    timed(f"chunked_deepcache_{k}_{d}")
-    model.set_deepcache(None)
+    if not args.skip_bf16:
+        # chunked exact (the production default for 512-class chains)
+        model.sampler_chunk = args.chunk
+        timed("chunked_exact")
 
-    # respaced DDIM (eta=1, the quality-preserving setting) and the
-    # DDIM x DeepCache composition — the 512-class latency frontier
-    if args.ddim:
-        S = int(args.ddim)
-        model.set_ddim(S, 1.0)
-        timed(f"ddim_{S}_eta1")
+        # chunked + DeepCache
         model.set_deepcache(k, d)
-        timed(f"ddim_{S}_eta1_deepcache_{k}_{d}")
+        timed(f"chunked_deepcache_{k}_{d}")
         model.set_deepcache(None)
-        model.set_ddim(None)
+
+        # respaced DDIM (eta=1, the quality-preserving setting) and the
+        # DDIM x DeepCache composition — the 512-class latency frontier
+        if args.ddim:
+            S = int(args.ddim)
+            model.set_ddim(S, 1.0)
+            timed(f"ddim_{S}_eta1")
+            model.set_deepcache(k, d)
+            timed(f"ddim_{S}_eta1_deepcache_{k}_{d}")
+            model.set_deepcache(None)
+            model.set_ddim(None)
+
+    if args.w8a8:
+        # int8 walker over the same production routes (calibration happens
+        # once inside the first test(); steady-state calls are what we time)
+        wide = args.w8a8_sites == "all"
+        model.set_quant(8, updown=wide, shortcut=wide)
+        model.sampler_chunk = args.chunk
+        timed("w8a8_chunked_exact")
+        model.set_deepcache(k, d)
+        timed(f"w8a8_chunked_deepcache_{k}_{d}")
+        model.set_deepcache(None)
+        if args.ddim:
+            S = int(args.ddim)
+            model.set_ddim(S, 1.0)
+            timed(f"w8a8_ddim_{S}_eta1")
+            model.set_deepcache(k, d)
+            timed(f"w8a8_ddim_{S}_eta1_deepcache_{k}_{d}")
+            model.set_deepcache(None)
+            model.set_ddim(None)
+        model.set_quant(None)
 
     if not args.skip_stepwise:
         # stepwise fallback: jitted single step + host loop

@@ -117,6 +117,10 @@ def main():
                     help="W8A8 quantized sampling (set_quant(8); composes "
                          "with --deepcache/--chunk) — scores int8 task "
                          "quality on the trained checkpoint")
+    ap.add_argument("--w8a8_sites", choices=["default", "all"],
+                    default="default",
+                    help="'all' extends int8 coverage to Down/Upsample and "
+                         "1×1 shortcut convs (set_quant updown+shortcut)")
     ap.add_argument("--deepcache", type=str, default=None, metavar="K[,D]",
                     help="DeepCache serving during sampling (composes with "
                          "--chunk: the cache rides the chunk carry)")
@@ -236,8 +240,10 @@ def main():
         model.set_deepcache(parts[0], parts[1] if len(parts) > 1 else 1)
         print(f"deepcache sampling: interval {parts[0]}", flush=True)
     if args.w8a8 and not args.stepwise:
-        model.set_quant(8)
-        print("w8a8 sampling: int8 MXU convs", flush=True)
+        wide = args.w8a8_sites == "all"
+        model.set_quant(8, updown=wide, shortcut=wide)
+        print(f"w8a8 sampling: int8 MXU convs (sites={args.w8a8_sites})",
+              flush=True)
     chunks = []
     if args.stepwise:
         import jax

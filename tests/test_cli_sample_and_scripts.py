@@ -209,3 +209,17 @@ def test_predict_cli(tmp_path):
     assert res.returncode == 0, res.stderr[-3000:]
     q0 = load_tiff_stack(str(tmp_path / "pred_q" / "pred_ch0.tif"))
     assert q0.shape == (1, 64, 64) and np.isfinite(q0).all()
+
+    # widened int8 coverage (--w8a8_sites all → set_quant updown+shortcut)
+    res = run_cli(
+        "predict.py",
+        ["-c", str(cfg_path), "--resume", str(ckpt_dir / "I1_E1"),
+         "--input", str(tmp_path / "mixed.tif"),
+         "--out", str(tmp_path / "pred_qa"),
+         "--num_steps", "2", "--batch_size", "4",
+         "--w8a8", "--w8a8_sites", "all"],
+        cwd=repo,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    qa0 = load_tiff_stack(str(tmp_path / "pred_qa" / "pred_ch0.tif"))
+    assert qa0.shape == (1, 64, 64) and np.isfinite(qa0).all()
