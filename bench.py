@@ -206,8 +206,14 @@ def main():
     jfn, params, x = build()
     rng = jax.random.PRNGKey(1)
 
-    # warmup/compile
+    # warmup/compile — TWO calls: the first compiles, the second (new key)
+    # pays any deferred one-time cost before timing starts (measured: the
+    # int8 param tree's first post-compile use costs ~13s through the
+    # tunnel — a lazy transfer — which poisoned a 3-rep average to 16.8
+    # steps/s when steady-state is 43.9)
     out = jfn(params, x, rng)
+    out.block_until_ready()
+    out = jfn(params, x, jax.random.fold_in(rng, 999))
     out.block_until_ready()
 
     reps = 3
