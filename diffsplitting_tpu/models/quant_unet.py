@@ -181,14 +181,19 @@ def _forward(cfg, p, x, time, conv: ConvHook, cached_deep=None,
             h = rb_at(enc_i(s, b), h, use_attn)
             feats.append(h)
         # stage s's Downsample feeds stage s+1; stage d-1's is consumed ONLY
-        # by the deep part (as its input and its last-popped skip)
-        if s < d - 1 or full:
+        # by the deep part (as its input and its last-popped skip). The last
+        # UNet stage has no Downsample at all (unet.py `not is_last`), so a
+        # single-stage net (M == 1) must skip it here too.
+        if (s < d - 1 or full) and s < M - 1:
             h = downsample(s, h)
             if s < d - 1:
                 feats.append(h)
 
     if full:
-        deep_feats = [h]  # stage d-1's Downsample output
+        # stage d-1's Downsample output — absent entirely when d == M
+        # (single-stage net): the deep decoder loop is then empty and must
+        # pop nothing.
+        deep_feats = [h] if d < M else []
         # ----------------------------------------------------- deep encoder
         for s in range(d, M):
             use_attn = res_of(s) in cfg.attn_res

@@ -88,7 +88,8 @@ def main():
         diffusion.set_sliding_window(*parse_accel_flag(args.sliding_window, 0.1))
     if args.ddim:
         diffusion.set_ddim(*parse_accel_flag(args.ddim, 0.0))
-    if args.w8a8:
+    if args.w8a8 or args.w8a8_sites != "default":
+        # --w8a8_sites implies --w8a8 (else silently bf16)
         wide = args.w8a8_sites == "all"
         diffusion.set_quant(8, updown=wide, shortcut=wide)
 

@@ -111,7 +111,9 @@ def main():
             *parse_accel_flag(args.deepcache, 1, second_cast=int))
     if args.sliding_window:
         model.set_sliding_window(*parse_accel_flag(args.sliding_window, 0.1))
-    if args.w8a8:
+    if args.w8a8 or args.w8a8_sites != "default":
+        # --w8a8_sites implies --w8a8: a sites choice without quantization
+        # would silently serve the bf16 chain (round-3 advisor finding)
         wide = args.w8a8_sites == "all"
         model.set_quant(8, updown=wide, shortcut=wide)
     T = args.num_steps or int(opt["model"]["beta_schedule"]["val"]["n_timestep"])

@@ -239,6 +239,8 @@ def main():
         parts = [int(v) for v in args.deepcache.split(",")]
         model.set_deepcache(parts[0], parts[1] if len(parts) > 1 else 1)
         print(f"deepcache sampling: interval {parts[0]}", flush=True)
+    if args.w8a8_sites != "default":
+        args.w8a8 = True  # --w8a8_sites implies --w8a8 (else silently bf16)
     if args.w8a8 and not args.stepwise:
         wide = args.w8a8_sites == "all"
         model.set_quant(8, updown=wide, shortcut=wide)

@@ -57,6 +57,21 @@ def test_walker_matches_flax_apply(cond_type):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_walker_matches_flax_apply_single_stage():
+    """M == 1 (single channel-mult stage): the last stage has no Downsample
+    in the flax UNet, and the walker's deep-feats bookkeeping must be empty
+    (round-3 advisor finding: the old walker raised KeyError here)."""
+    net = UNet(in_channel=2, out_channel=1, inner_channel=8, norm_groups=4,
+               channel_mults=(1,), attn_res=(), res_blocks=1,
+               image_size=16, cond_type="noise_level")
+    v, _, t = _init(net)
+    x = jnp.asarray(np.random.default_rng(7).normal(
+        size=(2, 16, 16, 2)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(plain_unet_apply(net, v, x, t)),
+        np.asarray(net.apply(v, x, t)), rtol=1e-5, atol=1e-5)
+
+
 def test_walker_matches_flax_apply_affine_level():
     net = _tiny_unet("noise_level", use_affine_level=True)
     v, _, t = _init(net)
@@ -167,7 +182,7 @@ def test_quant_serving_sr3(tmp_path):
     np.testing.assert_array_equal(again, exact)
 
 
-def test_quant_composes_with_ddim_and_refuses_deepcache(tmp_path):
+def test_quant_composes_with_ddim_and_deepcache(tmp_path):
     from diffsplitting_tpu.train import DiffusionModel
 
     batch = {"input": synth_batch(b=1, in_ch=1, out_ch=1)["input"]}
