@@ -210,14 +210,16 @@ def test_predict_cli(tmp_path):
     q0 = load_tiff_stack(str(tmp_path / "pred_q" / "pred_ch0.tif"))
     assert q0.shape == (1, 64, 64) and np.isfinite(q0).all()
 
-    # widened int8 coverage (--w8a8_sites all → set_quant updown+shortcut)
+    # widened int8 coverage (--w8a8_sites all → set_quant updown+shortcut);
+    # --w8a8 itself is intentionally omitted — the sites flag must imply it
+    # (round-3 advisor: sites-without-w8a8 silently served the bf16 chain)
     res = run_cli(
         "predict.py",
         ["-c", str(cfg_path), "--resume", str(ckpt_dir / "I1_E1"),
          "--input", str(tmp_path / "mixed.tif"),
          "--out", str(tmp_path / "pred_qa"),
          "--num_steps", "2", "--batch_size", "4",
-         "--w8a8", "--w8a8_sites", "all"],
+         "--w8a8_sites", "all"],
         cwd=repo,
     )
     assert res.returncode == 0, res.stderr[-3000:]
