@@ -1,7 +1,7 @@
 """Stat-carried fused UNet inference forward (TPU fast path).
 
 Runs the SAME flax params as `models.unet.UNet` but executes the forward as a
-chain of fused Pallas conv+GN blocks (ops/conv_gn.py): every activation is
+chain of fused Pallas conv+GN blocks (experimental/conv_gn.py): every activation is
 written to HBM once and read once; GroupNorm statistics ride along as (B, C)
 per-channel Σ/Σ² emitted by each conv's epilogue, so no tensor is ever
 re-read for normalization. Channelwise FiLM conditioning and the additive
@@ -37,13 +37,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffsplitting_tpu.ops.conv_gn import (
+from diffsplitting_tpu.experimental.conv_gn import (
     channel_stats,
     conv_gn_fused,
     conv_gn_reference,
     fold_gn_affine,
 )
 from diffsplitting_tpu.models.blocks import GN_EPS, swish
+from diffsplitting_tpu.models.forward_utils import (
+    _conv_xla,
+    _dense,
+    _positional_encoding,
+    _time_embedding,
+    apply_unet,
+    fused_enabled,
+)
 
 # pair a conv only at large spatial dims — at ≤64² XLA's conv is close enough
 # that the 2× raw-FLOP pair overhead loses (measured, BENCH_NOTES round 2)
@@ -259,37 +267,8 @@ def gn_conv(st: ST, gn_scale, gn_bias, groups, K, bias, *, residual: Optional[ST
 
 
 # ------------------------------------------------------------------ the walk
-def _dense(p, x):
-    return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 
-def _conv_xla(p, x, strides=(1, 1), dtype=None):
-    k = p["kernel"].astype(dtype or x.dtype)
-    ph, pw = k.shape[0] // 2, k.shape[1] // 2
-    y = jax.lax.conv_general_dilated(
-        x.astype(k.dtype), k, strides, [(ph, ph), (pw, pw)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    if "bias" in p:
-        y = y + p["bias"].astype(y.dtype)
-    return y
-
-
-def _time_embedding(t, dim):
-    half = dim // 2
-    inv = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32)
-                  * (-math.log(10000.0) / dim))
-    args = t.reshape(-1, 1).astype(jnp.float32) * inv[None, :]
-    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
-
-
-def _positional_encoding(level, dim):
-    count = dim // 2
-    step = jnp.arange(count, dtype=jnp.float32) / count
-    args = level.reshape(-1, 1).astype(jnp.float32) * jnp.exp(
-        -math.log(1e4) * step[None, :]
-    )
-    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
 
 
 def _fuse_widths():
@@ -332,31 +311,7 @@ def _xla_block(st: ST, bp, groups, dtype, Cout, residual: Optional[ST] = None,
     return ST(y, s, q)
 
 
-def fused_enabled() -> bool:
-    """Fused inference path — OPT-IN (DSP_FUSED=1).
 
-    Measured on v5e (BENCH_NOTES round 2): the Pallas chain runs its convs at
-    122–147 TF/s, but XLA's in-graph conv emitter fuses GN statistics into
-    conv epilogues natively and averages ~the same effective rate with less
-    glue, so the fused path LOSES end-to-end at every batch size and fusion
-    scope tried (b32: 26.2–28.5 vs 31.7 steps/s; b8: 82–86 vs 92.5). Kept as
-    tested infrastructure: it wins when XLA's emitter does badly (isolated
-    small-channel chains), and is the scaffold for future custom epilogues."""
-    import os
-
-    return os.environ.get("DSP_FUSED") == "1"
-
-
-def apply_unet(net, variables, x, time=None, *, train: bool = False,
-               rngs=None, deterministic: bool = True):
-    """Central UNet apply: fused stat-carried inference on TPU, standard flax
-    path for training / other backends."""
-    if not train and deterministic and fused_enabled():
-        return fused_unet_apply(net, variables, x, time)
-    kw = {}
-    if rngs is not None:
-        kw["rngs"] = rngs
-    return net.apply(variables, x, time, deterministic=deterministic, **kw)
 
 
 def fused_unet_apply(net, variables, x, time=None, *, interpret=False):

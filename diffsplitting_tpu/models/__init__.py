@@ -1,5 +1,5 @@
 from .unet import UNet
-from .fused_forward import apply_unet, fused_unet_apply, fused_enabled
+from .forward_utils import apply_unet, fused_enabled
 from .precision import cast_unet_params_for_inference
 from .time_predictor import TimePredictor
 from .blocks import (
@@ -17,7 +17,6 @@ from .blocks import (
 __all__ = [
     "UNet",
     "apply_unet",
-    "fused_unet_apply",
     "fused_enabled",
     "cast_unet_params_for_inference",
     "TimePredictor",

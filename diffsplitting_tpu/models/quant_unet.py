@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffsplitting_tpu.models.blocks import GN_EPS, swish
-from diffsplitting_tpu.models.fused_forward import (
+from diffsplitting_tpu.models.forward_utils import (
     _conv_xla,
     _dense,
     _positional_encoding,
@@ -315,12 +315,19 @@ def _classify(path: str) -> str:
 def quantize_unet_params(params, act_absmax: Dict[str, float], *,
                          updown: bool = False, shortcut: bool = False,
                          stem: bool = False, head: bool = False,
-                         clip_ratio: float = 1.0):
+                         attn: bool = False, clip_ratio: float = 1.0):
     """Host-side: trained param tree + calibrated per-site absmax → a tree of
     the same shape where selected conv nodes become
-    {kernel_i8, w_scale, a_scale, bias}. Runs once per serving session."""
+    {kernel_i8, w_scale, a_scale, bias}. Runs once per serving session.
+
+    `attn` extends coverage to the SelfAttention 1×1 QKV and output-proj
+    convs (the qkv input is GroupNorm-normalized, the proj input is the
+    attention-weighted V mix). The time-MLP Dense layers stay bf16 by
+    design: at the flagship config they carry <0.05% of forward FLOPs
+    (2·inner·C_out per block vs 2·9·C²·HW for each 3×3 conv), so int8
+    there saves nothing measurable."""
     want = {"block": True, "updown": updown, "shortcut": shortcut,
-            "stem": stem, "head": head, "attn": False, "other": False}
+            "stem": stem, "head": head, "attn": attn, "other": False}
 
     def walk(node, path):
         if isinstance(node, dict) and "kernel" in node and np.ndim(

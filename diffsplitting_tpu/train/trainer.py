@@ -189,6 +189,7 @@ class DiffusionModel:
                 "calib": int(q_opt.get("calib") or 8),
                 "updown": bool(q_opt.get("updown", False)),
                 "shortcut": bool(q_opt.get("shortcut", False)),
+                "attn": bool(q_opt.get("attn", False)),
                 "clip": float(q_opt.get("clip") or 1.0),
             }
         self._quant_trees: Dict = {}  # kind -> [(src_params, qtree), ...]
@@ -310,7 +311,7 @@ class DiffusionModel:
             # apply_unet is the plain flax forward unless DSP_FUSED=1 opts in
             # to the Pallas conv+GN path — which is equality-tested but was
             # MEASURED SLOWER end-to-end on v5e (XLA already fuses conv+GN;
-            # BENCH_NOTES round 2, models/fused_forward.py:336-347)
+            # BENCH_NOTES round 2, experimental/fused_forward.py)
             from diffsplitting_tpu.models import apply_unet
 
             return apply_unet(net, {"params": params[role]}, x, t)
@@ -523,14 +524,16 @@ class DiffusionModel:
         return kind == "test"
 
     def set_quant(self, bits, calib: int = 8, updown: bool = False,
-                  shortcut: bool = False, clip: float = 1.0):
+                  shortcut: bool = False, attn: bool = False,
+                  clip: float = 1.0):
         """Toggle W8A8 quantized serving at runtime (CLI surfaces).
 
         `bits=None`/`0` restores the bf16/f32 exact forward; bits=8 routes
         test()/sample() denoiser forwards through the int8 MXU walker
         (models/quant_unet.py) after a one-time activation-scale calibration
         on the current serving inputs. `updown`/`shortcut` extend coverage
-        to the Down/Upsample and 1×1 shortcut convs; `clip` scales the
+        to the Down/Upsample and 1×1 shortcut convs, `attn` to the
+        SelfAttention QKV/proj 1×1 convs; `clip` scales the
         calibrated activation range (e.g. 0.9 clips the top 10%).
         Composes with DeepCache (the cache-split walker serves int8 full
         AND shallow passes, `_cached_apply`), DDIM, chunked sampling and
@@ -540,7 +543,8 @@ class DiffusionModel:
             if int(bits) != 8:
                 raise ValueError("set_quant: only 8-bit is supported")
             self.quant = {"calib": int(calib), "updown": bool(updown),
-                          "shortcut": bool(shortcut), "clip": float(clip)}
+                          "shortcut": bool(shortcut), "attn": bool(attn),
+                          "clip": float(clip)}
         else:
             self.quant = None
         self._quant_trees.clear()
@@ -635,7 +639,7 @@ class DiffusionModel:
             out[role] = quantize_unet_params(
                 host[role], {k: float(v) for k, v in stats.items()},
                 updown=q["updown"], shortcut=q["shortcut"],
-                clip_ratio=q["clip"],
+                attn=q.get("attn", False), clip_ratio=q["clip"],
             )
             logger.info(
                 "W8A8: quantized %s (%d int8 conv sites, calib batch %d)",

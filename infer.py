@@ -56,7 +56,7 @@ def main():
                              "activation-scale calibration. Approximate; "
                              "composes with --ddim, --deepcache and "
                              "--sliding_window.")
-    parser.add_argument("--w8a8_sites", choices=["default", "all"],
+    parser.add_argument("--w8a8_sites", choices=["default", "all", "attn"],
                         default="default",
                         help="'all' extends int8 coverage to Down/Upsample "
                              "and 1×1 shortcut convs (1.27x vs 1.18x exact "
@@ -90,8 +90,9 @@ def main():
         diffusion.set_ddim(*parse_accel_flag(args.ddim, 0.0))
     if args.w8a8 or args.w8a8_sites != "default":
         # --w8a8_sites implies --w8a8 (else silently bf16)
-        wide = args.w8a8_sites == "all"
-        diffusion.set_quant(8, updown=wide, shortcut=wide)
+        wide = args.w8a8_sites in ("all", "attn")
+        diffusion.set_quant(8, updown=wide, shortcut=wide,
+                            attn=args.w8a8_sites == "attn")
 
     logger.info("Begin Model Inference.")
     current_step, idx = 0, 0

@@ -66,7 +66,7 @@ def main():
                          "rate on v5e) after a one-time activation-scale "
                          "calibration. Approximate; composes with "
                          "--deepcache and --sliding_window.")
-    ap.add_argument("--w8a8_sites", choices=["default", "all"],
+    ap.add_argument("--w8a8_sites", choices=["default", "all", "attn"],
                     default="default",
                     help="'all' extends int8 coverage to Down/Upsample and "
                          "1×1 shortcut convs (1.27x vs 1.18x exact chain; "
@@ -114,8 +114,9 @@ def main():
     if args.w8a8 or args.w8a8_sites != "default":
         # --w8a8_sites implies --w8a8: a sites choice without quantization
         # would silently serve the bf16 chain (round-3 advisor finding)
-        wide = args.w8a8_sites == "all"
-        model.set_quant(8, updown=wide, shortcut=wide)
+        wide = args.w8a8_sites in ("all", "attn")
+        model.set_quant(8, updown=wide, shortcut=wide,
+                        attn=args.w8a8_sites == "attn")
     T = args.num_steps or int(opt["model"]["beta_schedule"]["val"]["n_timestep"])
     model.current_T = T
     model.schedule_phase = f"predict_{T}"

@@ -49,7 +49,7 @@ def main():
                         help="W8A8 quantized serving: int8 MXU convs (2x "
                              "peak rate on v5e). Approximate; composes "
                              "with --deepcache/--ddim.")
-    parser.add_argument("--w8a8_sites", choices=["default", "all"],
+    parser.add_argument("--w8a8_sites", choices=["default", "all", "attn"],
                         default="default",
                         help="'all' extends int8 coverage to Down/Upsample "
                              "and 1×1 shortcut convs (1.27x vs 1.18x exact "
@@ -82,8 +82,9 @@ def main():
         diffusion.set_ddim(*parse_accel_flag(args.ddim, 0.0))
     if args.w8a8 or args.w8a8_sites != "default":
         # --w8a8_sites implies --w8a8 (else silently bf16)
-        wide = args.w8a8_sites == "all"
-        diffusion.set_quant(8, updown=wide, shortcut=wide)
+        wide = args.w8a8_sites in ("all", "attn")
+        diffusion.set_quant(8, updown=wide, shortcut=wide,
+                            attn=args.w8a8_sites == "attn")
     # accelerated samplers (flags or config keys) keep no trajectory frames
     accel = (diffusion.deepcache is not None
              or diffusion.sliding_window is not None

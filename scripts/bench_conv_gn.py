@@ -28,7 +28,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from diffsplitting_tpu.ops.conv_gn import (  # noqa: E402
+from diffsplitting_tpu.experimental.conv_gn import (  # noqa: E402
     channel_stats,
     conv_gn_fused,
     fold_gn_affine,

@@ -1,7 +1,13 @@
 """Training-throughput microbench: jitted train step/s + MFU on the current backend.
 
 Usage: python scripts/bench_train.py [--which joint_indi] [--batch 8] [--patch 128]
+   or: python scripts/bench_train.py --config configs/sr_sr3_16_128.json --batch 32 --bf16
 Prints one JSON line. Complements bench.py (which measures reverse sampling).
+
+`--config` benches the REAL shipped config (full UNet + optimizer + EMA as
+configured) — the training-side counterpart of bench.py's sampler headline,
+matching the reference's hot loop (/root/reference/split.py:141-270:
+feed_data + optimize_parameters per iteration).
 """
 
 from __future__ import annotations
@@ -22,6 +28,91 @@ from diffsplitting_tpu.utils.flops import unet_forward_flops
 from diffsplitting_tpu.utils.profiling import peak_flops_per_chip
 
 
+def bench_config(args):
+    """Train step/s + MFU for a shipped config's full DiffusionModel step
+    (fwd+bwd+adam+EMA as configured), synthetic data at the config's
+    resolution. The reference's training entry is split.py's
+    feed_data/optimize_parameters loop (/root/reference/split.py:141-270)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/dsp_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    from diffsplitting_tpu.config.loader import dict_to_nonedict, load_json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    opt = load_json(os.path.join(repo, args.config))
+    opt["phase"] = "train"
+    opt["path"]["checkpoint"] = "/tmp/bench_ckpt"
+    opt["path"]["resume_state"] = None
+    if args.bf16:
+        opt["model"]["compute_dtype"] = "bfloat16"
+    if args.remat:
+        opt["model"]["remat"] = True
+    if args.dropout >= 0:
+        opt["model"]["unet"]["dropout"] = args.dropout
+    if args.no_ema:
+        opt.get("train", {}).pop("ema_scheduler", None)
+    opt = dict_to_nonedict(opt)
+    u = opt["model"]["unet"]
+    dif = opt["model"]["diffusion"]
+    which = opt["model"]["which_model_G"]
+    out_ch = int(u["out_channel"])
+    in_ch = int(u["in_channel"])
+    size = int(dif["image_size"])
+    cond = bool(dif["conditional"])
+
+    model = DiffusionModel(opt)
+    rng = np.random.default_rng(0)
+    tgt_ch = out_ch * (2 if which == "joint_indi" else 1)
+    batch = {"target": rng.normal(
+        size=(args.batch, size, size, tgt_ch)).astype(np.float32)}
+    inp_ch = in_ch if which in ("indi", "joint_indi") else in_ch - out_ch
+    if which != "joint_indi":
+        batch["input"] = rng.normal(
+            size=(args.batch, size, size, inp_ch)).astype(np.float32)
+
+    model.feed_data(batch)
+    model.optimize_parameters()  # compile
+    model.optimize_parameters()  # deferred first-use transfer (CLAUDE.md)
+    import jax
+
+    jax.block_until_ready(model.params)
+
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        model.optimize_parameters()
+    jax.block_until_ready(model.params)
+    dt = (time.perf_counter() - t0) / args.reps
+
+    n_nets = 2 if which == "joint_indi" else 1
+    fwd = unet_forward_flops(
+        size, in_ch, out_ch, int(u["inner_channel"]),
+        tuple(u["channel_multiplier"]), tuple(u["attn_res"] or ()),
+        int(u["res_blocks"]), cond=cond, batch=args.batch)
+    flops = 3.0 * fwd * n_nets  # bwd ≈ 2× fwd
+    mfu = flops / dt / peak_flops_per_chip()
+    name = os.path.splitext(os.path.basename(args.config))[0]
+    row = {
+        "metric": f"train_steps_per_sec_{name}_b{args.batch}",
+        "value": round(1.0 / dt, 3),
+        "unit": "steps/s",
+        "extra": {"step_time_ms": round(dt * 1e3, 2), "mfu": round(mfu, 4),
+                  "imgs_per_sec": round(args.batch / dt, 2),
+                  "flops_per_step": flops, "bf16": args.bf16,
+                  "remat": bool(args.remat), "batch": args.batch,
+                  "dropout": float(u["dropout"] or 0.0),
+                  "ema": bool((opt.get("train") or {}).get("ema_scheduler")),
+                  "image_size": size, "backend": jax.devices()[0].platform},
+    }
+    line = json.dumps(row)
+    print(line, flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="joint_indi",
@@ -31,7 +122,21 @@ def main():
     ap.add_argument("--inner", type=int, default=16)
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--config", default=None,
+                    help="bench a shipped config's real train step instead "
+                         "of the toy UNet (e.g. configs/sr_sr3_16_128.json)")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block rematerialization (config mode)")
+    ap.add_argument("--dropout", type=float, default=-1.0,
+                    help="override the config's UNet dropout (config mode "
+                         "probe: isolate the dropout-mask RNG cost)")
+    ap.add_argument("--no_ema", action="store_true",
+                    help="strip the config's ema_scheduler (config mode probe)")
+    ap.add_argument("--out", default=None, help="also append JSON to file")
     args = ap.parse_args()
+
+    if args.config:
+        return bench_config(args)
 
     out_ch = 1 if args.which == "joint_indi" else 2
     in_ch = out_ch if args.which in ("indi", "joint_indi") else out_ch + 1

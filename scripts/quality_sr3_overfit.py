@@ -117,7 +117,7 @@ def main():
                     help="W8A8 quantized sampling (set_quant(8); composes "
                          "with --deepcache/--chunk) — scores int8 task "
                          "quality on the trained checkpoint")
-    ap.add_argument("--w8a8_sites", choices=["default", "all"],
+    ap.add_argument("--w8a8_sites", choices=["default", "all", "attn"],
                     default="default",
                     help="'all' extends int8 coverage to Down/Upsample and "
                          "1×1 shortcut convs (set_quant updown+shortcut)")
@@ -242,8 +242,9 @@ def main():
     if args.w8a8_sites != "default":
         args.w8a8 = True  # --w8a8_sites implies --w8a8 (else silently bf16)
     if args.w8a8 and not args.stepwise:
-        wide = args.w8a8_sites == "all"
-        model.set_quant(8, updown=wide, shortcut=wide)
+        wide = args.w8a8_sites in ("all", "attn")
+        model.set_quant(8, updown=wide, shortcut=wide,
+                        attn=args.w8a8_sites == "attn")
         print(f"w8a8 sampling: int8 MXU convs (sites={args.w8a8_sites})",
               flush=True)
     chunks = []

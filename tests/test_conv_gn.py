@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from diffsplitting_tpu.ops.conv_gn import (
+from diffsplitting_tpu.experimental.conv_gn import (
     channel_stats,
     conv_gn_fused,
     conv_gn_reference,

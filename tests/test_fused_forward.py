@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from diffsplitting_tpu.models import UNet
-from diffsplitting_tpu.models import fused_forward as ff
+from diffsplitting_tpu.experimental import fused_forward as ff
 
 
 def build(seed=0, **kw):

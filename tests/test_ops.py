@@ -10,8 +10,10 @@ from diffsplitting_tpu.ops.attention import (
     attention_reference,
     fused_attention,
 )
-from diffsplitting_tpu.ops.groupnorm import (
+from diffsplitting_tpu.experimental.groupnorm_pallas import (
     _pallas_forward as gn_pallas,
+)
+from diffsplitting_tpu.ops.groupnorm import (
     fused_group_norm_swish,
     group_norm_swish_reference,
 )
@@ -42,7 +44,7 @@ def test_groupnorm_pallas_kernel_interpret(rng):
 
 def test_groupnorm_pallas_kernel_multitile_bf16(rng):
     """Row-tiled path (H > row_tile) + bf16 inputs."""
-    from diffsplitting_tpu.ops import groupnorm as gn
+    from diffsplitting_tpu.experimental import groupnorm_pallas as gn
 
     x = (jax.random.normal(rng, (1, 64, 32, 32)) * 2).astype(jnp.bfloat16)
     scale = jax.random.normal(jax.random.fold_in(rng, 1), (32,))

@@ -129,13 +129,48 @@ def test_quantize_coverage_flags():
         v["params"], stats, updown=True, shortcut=True, stem=True, head=True)))
     assert len(wide) > base
     assert "Conv_0" in wide and "Block_0/Conv_0" in wide
-    # attention / Dense never quantized
+    # attention stays bf16 unless attn=True; Dense never quantized (the
+    # time-MLP carries <0.05% of forward FLOPs — see quantize_unet_params)
     assert not any("SelfAttention" in k or "Dense" in k for k in wide)
     # the quantized forward still runs and stays sane at full coverage
     qp = quantize_unet_params(v["params"], stats, updown=True, shortcut=True)
     got = np.asarray(quant_unet_apply(net, {"params": qp},
                                       jnp.asarray(x), t))
     assert np.isfinite(got).all()
+
+
+def test_quantize_attn_sites():
+    """attn=True extends int8 to the SelfAttention QKV + proj 1×1 convs and
+    the forward stays close to exact (set_quant(..., attn=True) /
+    --w8a8_sites attn serving route)."""
+    net = _tiny_unet()
+    v, _, t = _init(net)
+    xr = jnp.asarray(np.random.default_rng(5).normal(
+        size=(2, 16, 16, 2)), jnp.float32)
+    # calibrate on a representative batch (the serving path calibrates on
+    # chain-spanning inputs, trainer._calib_inputs) — not on zeros
+    _, stats = collect_act_absmax(net, v, xr, t)
+    stats = {k: float(s) for k, s in stats.items()}
+    qp = quantize_unet_params(v["params"], stats, updown=True, shortcut=True,
+                              attn=True)
+    sites = dict(iter_quant_sites(qp))
+    attn_sites = [k for k in sites if "SelfAttention" in k]
+    # mults (1,2) attn@8: 1 encoder + mid + 2 decoder attn blocks... count
+    # structurally instead of hardcoding: both Conv_0 (qkv) and Conv_1 (proj)
+    # of every attention block must be present
+    assert attn_sites and all(
+        k.endswith(("Conv_0", "Conv_1")) for k in attn_sites)
+    qkv = [k for k in attn_sites if k.endswith("Conv_0")]
+    proj = [k for k in attn_sites if k.endswith("Conv_1")]
+    assert len(qkv) == len(proj) > 0
+    # qkv has no bias in the flax UNet — the quant node must not invent one
+    assert all("bias" not in sites[k] for k in qkv)
+
+    want = np.asarray(plain_unet_apply(net, v, xr, t))
+    got = np.asarray(jax.jit(
+        lambda q, x, t: quant_unet_apply(net, {"params": q}, x, t))(qp, xr, t))
+    rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-9)
+    assert rel < 0.1, f"W8A8+attn rel L2 error {rel:.3f}"
 
 
 # ------------------------------------------------------------ serving surface

@@ -55,7 +55,7 @@ def test_name_walking_forwards_accept_remat_nets():
     out, _ = CachedUNet.from_unet(net_r, 1).apply(v, x, t)
     np.testing.assert_array_equal(np.asarray(out), ref)
 
-    from diffsplitting_tpu.models import fused_unet_apply
+    from diffsplitting_tpu.experimental.fused_forward import fused_unet_apply
 
     fused = np.asarray(fused_unet_apply(net_r, v, x, t))
     np.testing.assert_allclose(fused, ref, rtol=0.05, atol=0.05)
