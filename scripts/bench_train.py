@@ -38,6 +38,8 @@ def bench_config(args):
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/dsp_jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    if args.prng:
+        jax.config.update("jax_default_prng_impl", args.prng)
 
     from diffsplitting_tpu.config.loader import dict_to_nonedict, load_json
 
@@ -132,6 +134,10 @@ def main():
                          "probe: isolate the dropout-mask RNG cost)")
     ap.add_argument("--no_ema", action="store_true",
                     help="strip the config's ema_scheduler (config mode probe)")
+    ap.add_argument("--prng", choices=["threefry", "rbg"], default=None,
+                    help="jax_default_prng_impl for the run (config mode "
+                         "probe: threefry per-element dropout-mask bits are "
+                         "VPU-bound; rbg uses the hardware RNG)")
     ap.add_argument("--out", default=None, help="also append JSON to file")
     args = ap.parse_args()
 

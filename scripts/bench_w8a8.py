@@ -49,6 +49,8 @@ def main():
                     help="also quantize Down/Upsample convs")
     ap.add_argument("--shortcut", action="store_true",
                     help="also quantize 1×1 shortcut convs")
+    ap.add_argument("--attn", action="store_true",
+                    help="also quantize the SelfAttention QKV/proj 1×1 convs")
     ap.add_argument("--ddim", type=int, default=0,
                     help="also bench the S-step respaced DDIM chain both ways")
     ap.add_argument("--deepcache", type=str, default=None, metavar="K,D",
@@ -122,7 +124,7 @@ def main():
              jax.device_get(stats_fn(params, calib_in, calib_t)).items()}
     qparams = jax.device_put(quantize_unet_params(
         jax.device_get(params), stats,
-        updown=args.updown, shortcut=args.shortcut))
+        updown=args.updown, shortcut=args.shortcut, attn=args.attn))
     calib_s = time.perf_counter() - t0
 
     # one-forward rel error (random init; trained-ckpt quality is separate)
@@ -224,7 +226,7 @@ def main():
 
     out = {
         "device": str(jax.devices()[0]), "batch": B, "steps": T, "img": img,
-        "updown": args.updown, "shortcut": args.shortcut,
+        "updown": args.updown, "shortcut": args.shortcut, "attn": args.attn,
         "calib_quantize_s": round(calib_s, 2),
         "one_forward_rel_l2_vs_bf16": round(rel, 5),
         "rows": rows,
