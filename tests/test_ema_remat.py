@@ -82,6 +82,25 @@ def test_ema_checkpoint_roundtrip(tmp_path):
     assert m2.global_step == 3
 
 
+def test_dropout_rbg_stream_default():
+    """Dropout masks ride an rbg-derived key by default (threefry mask bits
+    were 31% of the flagship train step on v5e — trainer._dropout_key);
+    train.dropout_prng='threefry' opts out. Both must train finite."""
+    import numpy as np
+
+    for impl in ("rbg", "threefry"):
+        opt = tiny_opt("indi", in_ch=2, out_ch=2)
+        opt["model"]["unet"]["dropout"] = 0.3
+        if impl == "threefry":
+            opt["train"]["dropout_prng"] = impl
+        m = DiffusionModel(opt)
+        assert m._dropout_prng == impl
+        for i in range(2):
+            m.feed_data(synth_batch(seed=i))
+            m.optimize_parameters()
+        assert np.isfinite(m.get_current_log()["l_pix"])
+
+
 def test_finetune_norm_fails_loudly():
     import pytest
 
