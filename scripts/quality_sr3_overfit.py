@@ -124,6 +124,11 @@ def main():
     ap.add_argument("--deepcache", type=str, default=None, metavar="K[,D]",
                     help="DeepCache serving during sampling (composes with "
                          "--chunk: the cache rides the chunk carry)")
+    ap.add_argument("--ddim", type=str, default=None, metavar="S[,ETA]",
+                    help="respaced DDIM sampling (S steps; default ETA 1 — "
+                         "the quality-preserving setting); composes with "
+                         "--deepcache/--chunk — scores the accelerated "
+                         "serving routes' task quality on the trained ckpt")
     ap.add_argument("--chunk", type=int, default=-1,
                     help="sample in jitted K-step scan chunks + host loop "
                          "(bit-identical to the single scan; "
@@ -239,6 +244,11 @@ def main():
         parts = [int(v) for v in args.deepcache.split(",")]
         model.set_deepcache(parts[0], parts[1] if len(parts) > 1 else 1)
         print(f"deepcache sampling: interval {parts[0]}", flush=True)
+    if args.ddim and not args.stepwise:
+        dparts = args.ddim.split(",")
+        model.set_ddim(int(dparts[0]),
+                       float(dparts[1]) if len(dparts) > 1 else 1.0)
+        print(f"ddim sampling: S={dparts[0]}", flush=True)
     if args.w8a8_sites != "default":
         args.w8a8 = True  # --w8a8_sites implies --w8a8 (else silently bf16)
     if args.w8a8 and not args.stepwise:
