@@ -335,8 +335,12 @@ class DiffusionModel:
             return rng
         bits = rng if jnp.issubdtype(rng.dtype, jnp.integer) else (
             jax.random.key_data(rng))
-        return jax.random.wrap_key_data(
-            jnp.concatenate([bits, bits]).astype(jnp.uint32), impl="rbg")
+        # derive exactly 4 uint32 words whatever the ambient impl's key size
+        # is (threefry: 2 words; rbg — e.g. under a global --prng rbg run —
+        # already 4: blind duplication would build an invalid 8-word key)
+        bits = bits.reshape(-1)
+        words = jnp.concatenate([bits] * 4)[:4]
+        return jax.random.wrap_key_data(words.astype(jnp.uint32), impl="rbg")
 
     def _cached_apply(self, role, depth, params, xin, lvl, deep=None):
         """DeepCache forward with the same structure dispatch as `_apply`:

@@ -53,7 +53,9 @@ def main():
                         default="default",
                         help="'all' extends int8 coverage to Down/Upsample "
                              "and 1×1 shortcut convs (1.27x vs 1.18x exact "
-                             "chain; rel-L2 0.051 vs 0.038)")
+                             "chain; rel-L2 0.051 vs 0.038); 'attn' is a "
+                             "SUPERSET of 'all' adding the SelfAttention "
+                             "QKV/proj convs")
     args = parser.parse_args()
 
     opt = Logger.parse(args)

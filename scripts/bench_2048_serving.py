@@ -24,7 +24,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -57,23 +56,7 @@ def synth_stack(path, frames, size, seed=0):
     return out
 
 
-def rss_watch_run(cmd, env):
-    """Run cmd; poll the child's VmHWM; return (wall_s, peak_rss_mb, rc, tail)."""
-    t0 = time.perf_counter()
-    proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True)
-    peak = 0
-    while proc.poll() is None:
-        try:
-            with open(f"/proc/{proc.pid}/status") as f:
-                for line in f:
-                    if line.startswith("VmHWM"):
-                        peak = max(peak, int(line.split()[1]))  # kB
-        except OSError:
-            pass
-        time.sleep(1.0)
-    out = proc.stdout.read()
-    return time.perf_counter() - t0, peak / 1024.0, proc.returncode, out[-2000:]
+from scripts._bench_util import rss_watch_run  # noqa: E402
 
 
 def main():
@@ -129,7 +112,7 @@ def main():
                "--batch_size", str(args.batch)] + extra
         row = {}
         for phase in ("cold", "warm"):
-            wall, rss, rc, tail = rss_watch_run(cmd, env)
+            wall, rss, rc, tail = rss_watch_run(cmd, env=env, cwd=REPO)
             assert rc == 0, f"{name} {phase} failed:\n{tail}"
             row[phase] = {"wall_s": round(wall, 1),
                           "frames_per_s": round(args.frames / wall, 4),

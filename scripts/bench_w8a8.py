@@ -50,7 +50,9 @@ def main():
     ap.add_argument("--shortcut", action="store_true",
                     help="also quantize 1×1 shortcut convs")
     ap.add_argument("--attn", action="store_true",
-                    help="also quantize the SelfAttention QKV/proj 1×1 convs")
+                    help="also quantize the SelfAttention QKV/proj 1×1 convs "
+                         "(additive — does NOT imply --updown/--shortcut, "
+                         "unlike the CLIs' --w8a8_sites attn superset)")
     ap.add_argument("--ddim", type=int, default=0,
                     help="also bench the S-step respaced DDIM chain both ways")
     ap.add_argument("--deepcache", type=str, default=None, metavar="K,D",

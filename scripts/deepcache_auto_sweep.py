@@ -93,13 +93,17 @@ def main():
     results["legs"]["dc_auto"] = leg("dc_auto")
     results["auto_resolved_interval"] = resolved
 
-    # frontier check: auto must match the best interval's PSNR within 0.15dB
-    # at >= its speedup
-    best = max((v["psnr"], k) for k, v in results["legs"].items()
-               if k.startswith("dc_") and k != "dc_auto")
+    # frontier check: auto must match the best interval's PSNR within
+    # 0.15 dB AND be at least ~as fast as that interval (both halves of the
+    # frontier definition)
+    best_psnr, best_k = max(
+        (v["psnr"], k) for k, v in results["legs"].items()
+        if k.startswith("dc_") and k != "dc_auto")
+    auto = results["legs"]["dc_auto"]
     results["frontier_ok"] = bool(
-        results["legs"]["dc_auto"]["psnr"] >= best[0] - 0.15)
-    results["best_interval_by_psnr"] = best[1]
+        auto["psnr"] >= best_psnr - 0.15
+        and auto["steps_per_s"] >= 0.95 * results["legs"][best_k]["steps_per_s"])
+    results["best_interval_by_psnr"] = best_k
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -120,7 +120,9 @@ def main():
     ap.add_argument("--w8a8_sites", choices=["default", "all", "attn"],
                     default="default",
                     help="'all' extends int8 coverage to Down/Upsample and "
-                         "1×1 shortcut convs (set_quant updown+shortcut)")
+                         "1×1 shortcut convs (set_quant updown+shortcut); "
+                         "'attn' is a SUPERSET of 'all' adding the "
+                         "SelfAttention QKV/proj convs")
     ap.add_argument("--deepcache", type=str, default=None, metavar="K[,D]",
                     help="DeepCache serving during sampling (composes with "
                          "--chunk: the cache rides the chunk carry)")
@@ -251,6 +253,10 @@ def main():
         print(f"ddim sampling: S={dparts[0]}", flush=True)
     if args.w8a8_sites != "default":
         args.w8a8 = True  # --w8a8_sites implies --w8a8 (else silently bf16)
+    if args.stepwise and (args.ddim or args.w8a8 or args.deepcache):
+        # the stepwise fallback runs the exact bf16 chain only — silently
+        # scoring it as an accelerated route would poison the quality tables
+        raise SystemExit("--stepwise is exclusive with --ddim/--w8a8/--deepcache")
     if args.w8a8 and not args.stepwise:
         wide = args.w8a8_sites in ("all", "attn")
         model.set_quant(8, updown=wide, shortcut=wide,
@@ -295,6 +301,8 @@ def main():
             chunks.append(np.asarray(model.test(continuous=False,
                                                 use_ema=args.ema > 0)))
             T_val = int(model.opt["model"]["beta_schedule"]["val"]["n_timestep"])
+            if args.ddim:  # respaced: S steps actually ran, not T
+                T_val = int(args.ddim.split(",")[0])
             dt = time.perf_counter() - t0
             print(f"batch {i0}: {T_val} reverse steps in {dt:.0f}s "
                   f"({T_val / dt:.1f} steps/s"

@@ -2,10 +2,12 @@
 bytes → time lower bounds on v5e (197 TF/s bf16, ~819 GB/s HBM).
 
 Documents WHY a config's measured train MFU sits where it does (VERDICT
-round-3 item 1: "≥40% train MFU or document the specific ceiling"). The
-64→512 config's high-res levels run 64-128 channel 3x3 convs over 512²/256²
-activations — arithmetic intensity far below the v5e ridge point (~240
-FLOP/byte), so those levels are bandwidth-bound and cap the whole step.
+round-3 item 1: "≥40% train MFU or document the specific ceiling").
+Result for 64→512: every level sits ABOVE the ~240 FLOP/byte ridge point,
+i.e. the conv math is MXU-bound on paper — the measured 14.9% is therefore
+NOT a bandwidth ceiling but half-lane 64/128-channel contractions (one MXU
+tile is 128 lanes) plus remat recompute and wide-spatial scheduling
+(analysis in BENCH_NOTES round 4).
 
 Usage: python scripts/roofline_train.py --config configs/sr_sr3_64_512.json --batch 4
 (backend-independent: pure arithmetic, runs anywhere)
@@ -16,7 +18,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -41,7 +42,9 @@ def main():
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
-    d = json.loads(re.sub(r"//.*", "", open(os.path.join(REPO, args.config)).read()))
+    from diffsplitting_tpu.config.loader import load_json
+
+    d = load_json(os.path.join(REPO, args.config))
     u = d["model"]["unet"]
     size = d["model"]["diffusion"]["image_size"]
     inner, mults, rb = u["inner_channel"], u["channel_multiplier"], u["res_blocks"]
