@@ -10,13 +10,13 @@ cd "$(dirname "$0")/.."
 mkdir -p results/serving_lowbatch
 for B in 1 4 8; do
   timeout 2400 python scripts/bench_w8a8.py --batch $B --steps 100 \
-    --updown --shortcut --ddim 50 --deepcache 5,1 \
+    --updown --shortcut --ddim 50 --deepcache 5,1 --no_walker \
     --out results/serving_lowbatch/b${B}_allsites.json
 done
 # attention-sites probe (composes all+attn) at serving and throughput batch
 for B in 8 32; do
   timeout 2400 python scripts/bench_w8a8.py --batch $B --steps 100 \
-    --updown --shortcut --attn \
+    --updown --shortcut --attn --no_walker \
     --out results/serving_lowbatch/b${B}_attnsites.json
 done
 echo DONE_LOWBATCH

@@ -59,6 +59,10 @@ def main():
                     help="also bench W8A8 x DeepCache (cached int8 chain, "
                          "refresh interval K, split depth D) vs the bf16 "
                          "cached chain")
+    ap.add_argument("--no_walker", action="store_true",
+                    help="skip the bf16-walker chain leg (one fewer tunnel "
+                         "compile; the production flax baseline is what the "
+                         "speedup is quoted against anyway)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny net + T=4 (CPU correctness smoke)")
     ap.add_argument("--out", default=os.path.join(REPO, "results/bench_w8a8.json"))
@@ -151,7 +155,8 @@ def main():
     # speedup is honest even if the walker and flax compile differently
     flax_apply = lambda n, v, x, t: n.apply(v, x, t)  # noqa: E731
     dt_f = timed(chain(flax_apply), params, cond, key)
-    dt_b = timed(chain(plain_unet_apply), params, cond, key)
+    dt_b = dt_f if args.no_walker else timed(
+        chain(plain_unet_apply), params, cond, key)
     dt_q = timed(chain(quant_unet_apply), qparams, cond, key)
     fps = unet_forward_flops(image_size=img, in_channel=6, out_channel=3,
                              inner_channel=inner, channel_mults=mults,
@@ -159,9 +164,11 @@ def main():
     peak = 197e12
     rows["exact"] = {
         "bf16_flax_s": round(dt_f, 3),
-        "bf16_walker_s": round(dt_b, 3), "w8a8_s": round(dt_q, 3),
+        "w8a8_s": round(dt_q, 3),
         "speedup_vs_flax": round(dt_f / dt_q, 3),
-        "speedup_vs_walker": round(dt_b / dt_q, 3),
+        **({} if args.no_walker else {
+            "bf16_walker_s": round(dt_b, 3),
+            "speedup_vs_walker": round(dt_b / dt_q, 3)}),
         "bf16_steps_per_s": round(T / dt_f, 2),
         "w8a8_steps_per_s": round(T / dt_q, 2),
         "bf16_mfu": round(fps * T / dt_f / peak, 4),
