@@ -129,6 +129,14 @@ class DiffusionModel:
             )
         else:
             tx = optax.adam(lr)
+        # opt-in gradient clipping (train.optimizer.grad_clip: float|"auto");
+        # OFF by default for reference parity (bare Adam, model.py:39-40) —
+        # see train/clipping.py for when/why to enable it
+        from diffsplitting_tpu.train.clipping import maybe_clip
+
+        tx = maybe_clip(
+            tx, (opt["train"].get("optimizer") if opt.get("train") else None)
+        )
         self.tx = tx
         # jit the optimizer-state init: eagerly it dispatches one zeros_like
         # per param leaf, which is pathological through a remote-TPU tunnel
@@ -417,6 +425,10 @@ class DiffusionModel:
             (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, rng, batch, sched
             )
+            # pre-clip global grad norm, logged every step: the 512² late-run
+            # loss spikes were only attributable post-hoc because nothing
+            # recorded the gradient scale (one fused reduction — free)
+            logs = dict(logs, grad_norm=optax.global_norm(grads))
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             params = _constrain(params, sharded=fsdp)

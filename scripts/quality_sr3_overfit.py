@@ -37,7 +37,8 @@ REF_SETS = [
 ]
 
 
-def build_opt(ckpt_dir, config, lr=None, remat=False, bf16=False, ema=0.0):
+def build_opt(ckpt_dir, config, lr=None, remat=False, bf16=False, ema=0.0,
+              grad_clip=None):
     from diffsplitting_tpu.config.loader import dict_to_nonedict, load_json
 
     opt = load_json(os.path.join(REPO, config))
@@ -46,6 +47,9 @@ def build_opt(ckpt_dir, config, lr=None, remat=False, bf16=False, ema=0.0):
     opt["path"]["resume_state"] = None
     if lr:
         opt["train"]["optimizer"]["lr"] = lr
+    if grad_clip:
+        opt["train"]["optimizer"]["grad_clip"] = (
+            grad_clip if grad_clip == "auto" else float(grad_clip))
     if remat:
         opt["model"]["remat"] = True
     if bf16:
@@ -137,6 +141,11 @@ def main():
                          "model.sampler_chunk). -1 = auto: chunked at "
                          "image_size >= 512, single scan below. 0 = force "
                          "the single full-T scan.")
+    ap.add_argument("--grad_clip", default=None,
+                    help="train.optimizer.grad_clip: a float global-norm "
+                         "ceiling or 'auto' (factor×EMA of past norms) — "
+                         "the 64→512 run at lr 5e-5 destabilized past 15k "
+                         "iters without it (loss spikes ~8×, −2 dB sampled)")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="track an EMA of the params at this decay and sample "
                          "from it (long overfits without EMA degrade: the "
@@ -170,7 +179,8 @@ def main():
 
     # --------------------------------------------------------------- training
     opt0 = build_opt(f"{args.workdir}/ckpt", args.config, lr=args.lr,
-                     remat=args.remat, bf16=args.bf16, ema=args.ema)
+                     remat=args.remat, bf16=args.bf16, ema=args.ema,
+                     grad_clip=args.grad_clip)
     ckpt_prefix = os.path.join(f"{args.workdir}/ckpt", f"I{args.iters}_E0")
     resume = os.path.isdir(f"{ckpt_prefix}_gen")
     start_iter = 0
@@ -214,8 +224,10 @@ def main():
         model.optimize_parameters()
         if it % args.print_freq == 0 or it == 1:
             log = model.get_current_log()
-            losses.append((it, float(log["l_pix"])))
+            losses.append((it, float(log["l_pix"]),
+                           float(log.get("grad_norm", float("nan")))))
             print(f"iter {it}: l_pix={losses[-1][1]:.5f} "
+                  f"gnorm={losses[-1][2]:.3g} "
                   f"({(time.perf_counter()-t0):.0f}s)", flush=True)
         if args.save_every and it % args.save_every == 0 and it < args.iters:
             model.save_network(epoch=0, iter_step=it)
@@ -327,8 +339,11 @@ def main():
         "psnr_per_image": [float(p) for p in psnrs],
         "iters": args.iters,
         "n_images": int(sr.shape[0]),
-        "loss_trajectory": losses,
+        "loss_trajectory": losses,  # (iter, l_pix, pre-clip grad norm)
         "config": args.config,
+        "recipe": {"lr": args.lr or None, "ema": args.ema or None,
+                   "grad_clip": args.grad_clip, "bf16": args.bf16,
+                   "remat": args.remat, "batch": bs},
         "reference_published": {"psnr": args.ref_psnr, "ssim": args.ref_ssim,
                                 "protocol": "held-out CelebaHQ/FFHQ (NOT comparable: ours is overfit on the shipped samples)"},
     }
