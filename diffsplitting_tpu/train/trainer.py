@@ -102,7 +102,14 @@ class DiffusionModel:
 
         # ---------------- optimizer
         self.phase = opt.get("phase", "train")
-        lr = float(opt["train"]["optimizer"]["lr"]) if opt.get("train") else 1e-4
+        from diffsplitting_tpu.train.optim import make_lr, maybe_accumulate
+
+        opt_cfg = (opt["train"].get("optimizer") or {}) if opt.get("train") else {}
+        lr = make_lr(
+            float(opt_cfg.get("lr") or 1e-4),
+            opt_cfg.get("schedule"),
+            int(opt["train"].get("n_iter") or 0) if opt.get("train") else 0,
+        )
         if model_opt.get("finetune_norm"):
             # freeze every param whose path lacks 'transformer' (model.py:26-35)
             def labels(p):
@@ -134,9 +141,10 @@ class DiffusionModel:
         # see train/clipping.py for when/why to enable it
         from diffsplitting_tpu.train.clipping import maybe_clip
 
-        tx = maybe_clip(
-            tx, (opt["train"].get("optimizer") if opt.get("train") else None)
-        )
+        tx = maybe_clip(tx, opt_cfg)
+        # gradient accumulation wraps the WHOLE chain so clipping acts on
+        # the k-step mean gradient at update time (train/optim.py)
+        tx = maybe_accumulate(tx, opt_cfg)
         self.tx = tx
         # jit the optimizer-state init: eagerly it dispatches one zeros_like
         # per param leaf, which is pathological through a remote-TPU tunnel
