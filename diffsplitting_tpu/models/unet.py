@@ -64,6 +64,14 @@ class UNet(nn.Module):
     # rematerialize each residual block in backward (jax.checkpoint): trades
     # recompute FLOPs for HBM — enables 512×512 training (sr_sr3_64_512)
     remat: bool = False
+    # selective remat: only blocks running at resolution >= remat_min_res are
+    # rematerialized (0 = all, the round-3 behavior). In the reference-style
+    # UNet every level carries EQUAL conv FLOPs (C doubles as H·W quarters ⇒
+    # H·W·C² constant) but activation memory HALVES per level down (H·W·C),
+    # so skipping remat below e.g. 128 keeps ~95% of the memory saving while
+    # cutting ~half the backward recompute FLOPs. Param names are pinned, so
+    # checkpoints are interchangeable across remat settings.
+    remat_min_res: int = 0
 
     @nn.compact
     def __call__(self, x, time=None, *, deterministic: bool = True):
@@ -89,26 +97,28 @@ class UNet(nn.Module):
             t = nn.Dense(self.inner_channel, **conv_kwargs(self.dtype))(t)
             t = t.astype(compute_dtype)
 
-        block_cls = (
-            nn.remat(ResnetBlockWithAttn, static_argnums=(3,))  # (self, x, t, det)
-            if self.remat
-            else ResnetBlockWithAttn
-        )
+        remat_cls = nn.remat(ResnetBlockWithAttn, static_argnums=(3,))  # (self, x, t, det)
         # explicit names: nn.remat's auto-naming prefixes "Checkpoint", which
         # would make remat and non-remat checkpoints structurally incompatible
         # (and break every name-walking forward: fused_forward, deepcache,
         # torch_import). Pinning the plain name keeps ONE param-tree schema.
         rb_count = iter(range(10_000))
-        rb = lambda dim_out, with_attn: block_cls(
-            dim_out,
-            cond_type=self.cond_type,
-            use_affine_level=self.use_affine_level,
-            norm_groups=self.norm_groups,
-            dropout=self.dropout,
-            with_attn=with_attn,
-            dtype=self.dtype,
-            name=f"ResnetBlockWithAttn_{next(rb_count)}",
-        )
+
+        def rb(dim_out, with_attn, res):
+            # selective remat: blocks below remat_min_res run plain (their
+            # activations are small; their recompute FLOPs are not)
+            cls = (remat_cls if self.remat and res >= self.remat_min_res
+                   else ResnetBlockWithAttn)
+            return cls(
+                dim_out,
+                cond_type=self.cond_type,
+                use_affine_level=self.use_affine_level,
+                norm_groups=self.norm_groups,
+                dropout=self.dropout,
+                with_attn=with_attn,
+                dtype=self.dtype,
+                name=f"ResnetBlockWithAttn_{next(rb_count)}",
+            )
 
         num_mults = len(self.channel_mults)
         now_res = self.image_size
@@ -122,7 +132,7 @@ class UNet(nn.Module):
             use_attn = now_res in self.attn_res
             channel_mult = self.inner_channel * self.channel_mults[ind]
             for _ in range(self.res_blocks):
-                h = rb(channel_mult, use_attn)(h, t, deterministic)
+                h = rb(channel_mult, use_attn, now_res)(h, t, deterministic)
                 feats.append(h)
             if not is_last:
                 h = Downsample(dtype=self.dtype)(h)
@@ -131,8 +141,8 @@ class UNet(nn.Module):
 
         # ------------------------------------------------------------ mid
         pre_channel = h.shape[-1]
-        h = rb(pre_channel, True)(h, t, deterministic)
-        h = rb(pre_channel, False)(h, t, deterministic)
+        h = rb(pre_channel, True, now_res)(h, t, deterministic)
+        h = rb(pre_channel, False, now_res)(h, t, deterministic)
 
         # ------------------------------------------------------------ decoder
         for ind in reversed(range(num_mults)):
@@ -141,7 +151,7 @@ class UNet(nn.Module):
             channel_mult = self.inner_channel * self.channel_mults[ind]
             for _ in range(self.res_blocks + 1):
                 skip = feats.pop()
-                h = rb(channel_mult, use_attn)(
+                h = rb(channel_mult, use_attn, now_res)(
                     jnp.concatenate([h, skip], axis=-1), t, deterministic
                 )
             if not is_last:

@@ -36,6 +36,7 @@ def _unet_kwargs(model_opt, cond_type: str, dtype=None) -> dict:
         dtype = jnp.bfloat16
     return dict(
         remat=bool(model_opt.get("remat", False)),
+        remat_min_res=int(model_opt.get("remat_min_res") or 0),
         in_channel=unet["in_channel"],
         out_channel=unet["out_channel"],
         inner_channel=unet["inner_channel"],

@@ -52,6 +52,8 @@ def bench_config(args):
         opt["model"]["compute_dtype"] = "bfloat16"
     if args.remat:
         opt["model"]["remat"] = True
+    if args.remat_min_res:
+        opt["model"]["remat_min_res"] = args.remat_min_res
     if args.dropout >= 0:
         opt["model"]["unet"]["dropout"] = args.dropout
     if args.no_ema:
@@ -104,6 +106,7 @@ def bench_config(args):
                   "imgs_per_sec": round(args.batch / dt, 2),
                   "flops_per_step": flops, "bf16": args.bf16,
                   "remat": bool(args.remat), "batch": args.batch,
+                  "remat_min_res": int(args.remat_min_res),
                   "dropout": float(u["dropout"] or 0.0),
                   "ema": bool((opt.get("train") or {}).get("ema_scheduler")),
                   "image_size": size, "backend": jax.devices()[0].platform},
@@ -129,6 +132,12 @@ def main():
                          "of the toy UNet (e.g. configs/sr_sr3_16_128.json)")
     ap.add_argument("--remat", action="store_true",
                     help="per-block rematerialization (config mode)")
+    ap.add_argument("--remat_min_res", type=int, default=0,
+                    help="selective remat: only blocks at resolution >= R "
+                         "are rematerialized (model.remat_min_res; equal "
+                         "FLOPs but halving activation memory per UNet "
+                         "level means R=128 keeps ~95%% of the memory win "
+                         "at ~half the recompute)")
     ap.add_argument("--dropout", type=float, default=-1.0,
                     help="override the config's UNet dropout (config mode "
                          "probe: isolate the dropout-mask RNG cost)")

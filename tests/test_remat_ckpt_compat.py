@@ -41,6 +41,42 @@ def test_remat_and_plain_share_param_schema():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_selective_remat_same_schema_outputs_and_grads():
+    """remat_min_res (selective remat: only blocks at resolution >= R are
+    rematerialized) must keep the param schema, forward outputs, AND
+    gradients bit-comparable to full remat / no remat — it only changes
+    what the backward pass recomputes."""
+    x = jnp.zeros((1, 16, 16, 2))
+    t = jnp.ones((1,))
+    nets = {
+        "plain": UNet(**KW, remat=False),
+        "full": UNet(**KW, remat=True),
+        "sel": UNet(**KW, remat=True, remat_min_res=16),  # only the 16² level
+        "none_eff": UNet(**KW, remat=True, remat_min_res=64),  # R > all res
+    }
+    v = nets["plain"].init(jax.random.PRNGKey(0), x, t)
+    schemas = {k: _tree_paths(n.init(jax.random.PRNGKey(0), x, t))
+               for k, n in nets.items()}
+    assert all(s == schemas["plain"] for s in schemas.values())
+
+    xx = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 2))
+    tt = jnp.array([0.4, 0.7])
+
+    def loss(params, net):
+        return jnp.sum(net.apply(params, xx, tt) ** 2)
+
+    outs = {k: np.asarray(n.apply(v, xx, tt)) for k, n in nets.items()}
+    grads = {k: jax.grad(loss)(v, n) for k, n in nets.items()}
+    for k in ("full", "sel", "none_eff"):
+        np.testing.assert_allclose(outs[k], outs["plain"], rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(grads["plain"]),
+                        jax.tree_util.tree_leaves(grads[k])):
+            # remat recomputes the forward during backward, reordering f32
+            # reductions — grads agree to float noise, not bit-exactly
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-5)
+
+
 def test_name_walking_forwards_accept_remat_nets():
     """fused_forward and deepcache walk 'ResnetBlockWithAttn_*' names; the
     pinned naming makes them remat-compatible."""
