@@ -103,8 +103,11 @@ def main():
     ap.add_argument("--r_res", type=int, default=128)
     ap.add_argument("--batch", type=int, default=0,
                     help="train/sample batch; 0 = all prepared images")
-    ap.add_argument("--ref_psnr", type=float, default=23.26)
-    ap.add_argument("--ref_ssim", type=float, default=0.675)
+    ap.add_argument("--ref_psnr", type=float, default=0.0,
+                    help="published PSNR to position against; 0 = pick by "
+                         "task res (/root/reference/README.md:49-50: "
+                         "16->128 = 23.26, 64->512 = 19.87)")
+    ap.add_argument("--ref_ssim", type=float, default=0.0)
     ap.add_argument("--lr", type=float, default=0.0,
                     help="override config lr (the 64→512 config ships 3e-6, "
                          "tuned for 1M-iter training, not a bounded run)")
@@ -157,6 +160,10 @@ def main():
                     help="also checkpoint every N iters during training "
                          "(long runs: a sampler crash must not lose hours)")
     args = ap.parse_args()
+    if not args.ref_psnr:
+        args.ref_psnr, args.ref_ssim = {
+            (16, 128): (23.26, 0.675), (64, 512): (19.87, 0.445),
+        }.get((args.l_res, args.r_res), (23.26, 0.675))
 
     import jax
 

@@ -127,12 +127,26 @@ def main():
     it_re = re.compile(r"iter:\s*([\d,]+).*?l_pix:\s*([\deE.+-]+)")
     psnr_re = re.compile(r"psnr", re.IGNORECASE)
     tail = []
+    os.makedirs(args.out, exist_ok=True)
+
+    def flush_curves():
+        # Incremental flush so a host recycle / window-end SIGTERM still
+        # leaves the measured curves on disk (this host reboots; round 4).
+        with open(os.path.join(args.out, "rss_curve.json"), "w") as f:
+            json.dump(rss_curve, f)
+        with open(os.path.join(args.out, "loss_curve.json"), "w") as f:
+            json.dump(losses, f)
+
+    with open(os.path.join(args.out, "split_pid"), "w") as f:
+        f.write(str(proc.pid))
     for line in proc.stdout:
         tail.append(line)
         tail = tail[-60:]
         m = it_re.search(line)
         if m:
             losses.append((int(m.group(1).replace(",", "")), float(m.group(2))))
+            if len(losses) % 10 == 0:
+                flush_curves()
         if psnr_re.search(line):
             val_psnr.append(line.strip())
             print(line.strip(), flush=True)
@@ -149,9 +163,11 @@ def main():
         leak_note = {"rss_mb_per_hour": round(slope * 3600, 1),
                      "rss_start_mb": rss_curve[0][1],
                      "rss_end_mb": rss_curve[-1][1]}
+    iters_reached = losses[-1][0] if losses else 0
     summary = {
-        "rc": rc, "wall_s": round(wall, 1), "iters": args.iters,
-        "iters_per_s": round(args.iters / wall, 2),
+        "rc": rc, "wall_s": round(wall, 1), "iters_requested": args.iters,
+        "iters_reached": iters_reached,
+        "iters_per_s": round(iters_reached / wall, 2) if iters_reached else None,
         "patch": args.patch, "batch": args.batch,
         "loss_first": losses[:3], "loss_last": losses[-3:],
         "val_psnr_lines": val_psnr[-12:],
@@ -159,12 +175,12 @@ def main():
     }
     with open(os.path.join(args.out, "soak.json"), "w") as f:
         json.dump(summary, f, indent=1)
-    with open(os.path.join(args.out, "rss_curve.json"), "w") as f:
-        json.dump(rss_curve, f)
-    with open(os.path.join(args.out, "loss_curve.json"), "w") as f:
-        json.dump(losses, f)
+    flush_curves()
     print(json.dumps(summary)[:800], flush=True)
-    assert rc == 0, "split.py soak failed"
+    if rc != 0:
+        print(f"WARNING: split.py exited rc={rc} at iter {iters_reached} "
+              f"(time-bounded runs end via SIGTERM; curves above are valid)",
+              flush=True)
 
 
 if __name__ == "__main__":
