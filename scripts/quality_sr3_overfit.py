@@ -38,7 +38,7 @@ REF_SETS = [
 
 
 def build_opt(ckpt_dir, config, lr=None, remat=False, bf16=False, ema=0.0,
-              grad_clip=None):
+              grad_clip=None, remat_min_res=0):
     from diffsplitting_tpu.config.loader import dict_to_nonedict, load_json
 
     opt = load_json(os.path.join(REPO, config))
@@ -52,6 +52,9 @@ def build_opt(ckpt_dir, config, lr=None, remat=False, bf16=False, ema=0.0,
             grad_clip if grad_clip == "auto" else float(grad_clip))
     if remat:
         opt["model"]["remat"] = True
+    if remat_min_res:
+        opt["model"]["remat"] = True
+        opt["model"]["remat_min_res"] = int(remat_min_res)
     if bf16:
         opt["model"]["compute_dtype"] = "bfloat16"
     if ema:
@@ -113,6 +116,11 @@ def main():
                          "tuned for 1M-iter training, not a bounded run)")
     ap.add_argument("--remat", action="store_true",
                     help="per-block rematerialization (needed at 512² to fit HBM)")
+    ap.add_argument("--remat_min_res", type=int, default=0,
+                    help="selective remat: only checkpoint blocks at "
+                         "resolution >= R (model.remat_min_res; implies "
+                         "--remat). 128 keeps ~95%% of the HBM saving at "
+                         "~half the recompute on the 64->512 topology")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute dtype (model.compute_dtype)")
     ap.add_argument("--stepwise", action="store_true",
@@ -187,7 +195,8 @@ def main():
     # --------------------------------------------------------------- training
     opt0 = build_opt(f"{args.workdir}/ckpt", args.config, lr=args.lr,
                      remat=args.remat, bf16=args.bf16, ema=args.ema,
-                     grad_clip=args.grad_clip)
+                     grad_clip=args.grad_clip,
+                     remat_min_res=args.remat_min_res)
     ckpt_prefix = os.path.join(f"{args.workdir}/ckpt", f"I{args.iters}_E0")
     resume = os.path.isdir(f"{ckpt_prefix}_gen")
     start_iter = 0
