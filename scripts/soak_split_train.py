@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--val_freq", type=int, default=2000)
     ap.add_argument("--workdir", default="/tmp/soak_split")
     ap.add_argument("--out", default=os.path.join(REPO, "results/soak_split"))
+    ap.add_argument("--device_pool", action="store_true",
+                    help="datasets.train.device_pool: draw batches on device "
+                         "from one resident stack upload (the leak-free "
+                         "TPU-native data path) instead of per-iter feeds")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -94,6 +98,8 @@ def main():
     opt["train"]["val_freq"] = args.val_freq
     opt["train"]["save_checkpoint_freq"] = 5000
     opt["train"]["print_freq"] = 200
+    if args.device_pool:
+        opt["datasets"]["train"]["device_pool"] = True
     cfg_path = os.path.join(args.workdir, "soak_cfg.json")
     with open(cfg_path, "w") as f:
         json.dump(opt, f, indent=1)
@@ -169,6 +175,7 @@ def main():
         "iters_reached": iters_reached,
         "iters_per_s": round(iters_reached / wall, 2) if iters_reached else None,
         "patch": args.patch, "batch": args.batch,
+        "device_pool": bool(args.device_pool),
         "loss_first": losses[:3], "loss_last": losses[-3:],
         "val_psnr_lines": val_psnr[-12:],
         "rss": leak_note, "log_tail": tail[-15:] if rc != 0 else None,

@@ -248,9 +248,26 @@ def main():
 
     if opt["phase"] == "train":
         timer = StepTimer(flops_per_step=_train_flops_per_step(opt))
+        # Device-resident patch pool (datasets.train.device_pool): draw every
+        # batch on device from one upfront stack upload instead of a fresh
+        # host->device put per iteration (which the axon tunnel leaks —
+        # ~63 GB/h measured at 128px b8, results/soak_split).
+        if opt["datasets"]["train"].get("device_pool"):
+            from diffsplitting_tpu.data.device_pool import DevicePatchPool
+
+            bsz = int(opt["datasets"]["train"]["batch_size"])
+            pool = DevicePatchPool(
+                train_set, bsz, seed=int(opt["datasets"]["train"].get("pool_seed") or 0),
+                mesh=diffusion.mesh)
+            batches_per_epoch = max(1, len(train_set) // bsz)
+            epoch_batches = lambda: pool.epoch(batches_per_epoch)  # noqa: E731
+            logger.info("device_pool: %d frames resident on device, "
+                        "%d draws/epoch", pool._F, batches_per_epoch)
+        else:
+            epoch_batches = lambda: train_loader  # noqa: E731
         while current_step < n_iter:
             current_epoch += 1
-            for train_data in train_loader:
+            for train_data in epoch_batches():
                 current_step += 1
                 if current_step > n_iter:
                     break
