@@ -97,16 +97,27 @@ class DevicePatchPool:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            rep = NamedSharding(mesh, PartitionSpec())
-            self._out_shard = NamedSharding(mesh, PartitionSpec("data"))
-            dev = rep
+            # batch sharding mirrors parallel.mesh.shard_batch: fall back to
+            # replication when B doesn't divide the mesh data axis (else the
+            # with_sharding_constraint fails at trace time)
+            if batch_size % mesh.devices.size == 0:
+                self._out_shard = NamedSharding(mesh, PartitionSpec("data"))
+            else:
+                self._out_shard = NamedSharding(mesh, PartitionSpec())
+            # replicate() handles multi-host (device_put can't target
+            # non-addressable devices; it assembles via
+            # make_array_from_callback) and is ONE explicit upload on
+            # single-host — never a deferred bare device_put (CLAUDE.md)
+            from ..parallel.mesh import replicate
+
+            self._stack0 = replicate(stack0, mesh)
+            self._stack1 = replicate(stack1, mesh)
         else:
             self._out_shard = None
-            dev = jax.devices()[0]
-        # ONE upload (explicit placement: a bare device_put would defer /
-        # land on the uncommitted default and re-feed per call — CLAUDE.md)
-        self._stack0 = jax.device_put(stack0, dev)
-        self._stack1 = jax.device_put(stack1, dev)
+            # ONE upload (explicit placement: a bare device_put would defer /
+            # land on the uncommitted default and re-feed per call — CLAUDE.md)
+            self._stack0 = jax.device_put(stack0, jax.devices()[0])
+            self._stack1 = jax.device_put(stack1, jax.devices()[0])
         self._base_key = jax.random.PRNGKey(seed)
         self._step = 0
 
@@ -148,9 +159,24 @@ class DevicePatchPool:
                     out, {"input": self._out_shard, "target": self._out_shard})
             return out
 
+        # the pure draw is exposed (draw_fn/stacks/base_key) so the trainer
+        # can FUSE it into the train-step jit: standalone draw() costs one
+        # extra tunnel dispatch per iteration (plus an eager fold_in), which
+        # measured the pool path SLOWER than the leaking host loader on the
+        # 1-core host (6.89 vs 8.14 it/s, results/soak_split_pool round 4)
+        self.draw_fn = draw
         self._draw_jit = jax.jit(draw)  # built once; stacks stay arguments
 
     # ------------------------------------------------------------------ api
+    @property
+    def stacks(self):
+        """Device-resident (stack0, stack1) — pass as jit ARGUMENTS."""
+        return self._stack0, self._stack1
+
+    @property
+    def base_key(self):
+        return self._base_key
+
     def draw(self):
         """One device-resident {'input','target'} batch; advances the stream."""
         key = jax.random.fold_in(self._base_key, self._step)

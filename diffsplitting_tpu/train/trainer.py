@@ -237,6 +237,7 @@ class DiffusionModel:
         self.current_sched = None  # DDPMSchedule for ddpm/sr3
         self.current_T = None      # int for indi/joint_indi
         self._train_step = None
+        self._pool = None  # fused device-pool (attach_pool)
         self._infer_cache: Dict = {}
 
         self.set_new_noise_schedule(opt["model"]["beta_schedule"]["train"], "train")
@@ -429,7 +430,22 @@ class DiffusionModel:
 
             return jax.tree_util.tree_map(c, tree)
 
-        def step(params, opt_state, ema, step_no, rng, batch, sched):
+        # The per-step training key is derived INSIDE the jit from the base
+        # key + counter (identical fold_in math to the old eager _next_rng):
+        # an eager fold_in per iteration is one extra tunnel RPC in the hot
+        # loop. Same for the fused pool draw below.
+        base_rng = self.base_rng
+        pool = self._pool
+
+        def step(params, opt_state, ema, step_no, rng_counter, batch, sched):
+            rng = jax.random.fold_in(base_rng, 0x5EED + rng_counter)
+            if pool is not None:
+                # batch == (stack0, stack1): draw the patch batch on device
+                # as part of the train step — zero extra dispatches/iter.
+                # Keyed by global step (resume-stable); the standalone
+                # pool.draw() stream is fold_in(base, draws-so-far) instead.
+                dkey = jax.random.fold_in(pool.base_key, step_no)
+                batch = pool.draw_fn(batch[0], batch[1], dkey)
             (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, rng, batch, sched
             )
@@ -453,19 +469,27 @@ class DiffusionModel:
         static = (6,) if which in ("indi", "joint_indi") else ()
         return jax.jit(step, donate_argnums=(0, 1, 2), static_argnums=static)
 
+    def attach_pool(self, pool):
+        """Fuse a DevicePatchPool into the train step: every batch is drawn
+        on device INSIDE the step jit (no per-iter feed_data, no standalone
+        draw dispatch, no eager fold_in — each of those is a tunnel RPC).
+        Pass None to detach. optimize_parameters() then ignores feed_data."""
+        self._pool = pool
+        self._train_step = None  # rebuild with the fused draw
+
     def optimize_parameters(self):
         if self._train_step is None:
             self._train_step = self._build_train_step()
         sched = self.current_sched if self.which in ("ddpm", "sr3") else self.current_T
-        rng = self._next_rng()
+        self._rng_counter += 1  # key derived in-jit from this counter
         self.global_step += 1
         self.params, self.opt_state, self.ema_params, loss, logs = self._train_step(
             self.params,
             self.opt_state,
             self.ema_params if self.use_ema else {},
             self.global_step,
-            rng,
-            self.data,
+            self._rng_counter,
+            self._pool.stacks if self._pool is not None else self.data,
             sched,
         )
         if not self.use_ema:

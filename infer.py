@@ -36,7 +36,14 @@ def main():
     parser.add_argument("--deepcache", type=str, default=None, metavar="K[,D]",
                         help="DeepCache serving (full refresh every K steps, "
                              "split depth D). Final frames only — the "
-                             "*_sr_process.png trajectory grid is skipped.")
+                             "*_sr_process.png trajectory grid is skipped. "
+                             "K='auto' picks the largest fidelity-safe "
+                             "interval (conservative); on well-trained "
+                             "checkpoints explicit larger intervals (e.g. "
+                             "'12,1') measured BOTH faster and higher task "
+                             "PSNR (results/quality_deepcache/"
+                             "auto_sweep.json) — sweep K on a validation "
+                             "image if throughput matters.")
     parser.add_argument("--sliding_window", type=str, default=None,
                         metavar="W[,TAU]",
                         help="sliding-window Picard serving (W-step window "

@@ -52,7 +52,11 @@ def main():
     ap.add_argument("--deepcache", type=str, default=None, metavar="K[,D]",
                     help="DeepCache serving: full UNet refresh every K steps, "
                          "shallow-only in between (split depth D, default 1). "
-                         "Measured 1.58x at 5,1 on v5e; exact chain if unset.")
+                         "Measured 1.58x at 5,1 on v5e; exact chain if unset. "
+                         "K='auto' = largest fidelity-safe interval "
+                         "(conservative); on trained checkpoints larger "
+                         "explicit K (e.g. 12) measured faster AND higher "
+                         "task PSNR (results/quality_deepcache).")
     ap.add_argument("--sliding_window", type=str, default=None,
                     metavar="W[,TAU]",
                     help="sliding-window Picard serving (ParaDiGMS): W "

@@ -80,7 +80,18 @@ def main():
         "utils/lpips.py); when given, LPIPS is reported alongside PSNR "
         "(EvaluateJointIndi.ipynb cells 30-34)",
     )
+    ap.add_argument("--check_data", action="store_true",
+                    help="validate the config's Hagen TIFF layout and print "
+                         "the parity-run commands (reference "
+                         "EvaluateJointIndi.ipynb cell 34), then exit")
     args = ap.parse_args()
+
+    if args.check_data:
+        from diffsplitting_tpu.data.check import run_check
+
+        raise SystemExit(
+            0 if run_check(args.config, dict_to_nonedict(load_json(args.config)))
+            else 1)
 
     lpips_params = None
     if args.lpips_weights:

@@ -168,10 +168,20 @@ def main():
                     help="also checkpoint every N iters during training "
                          "(long runs: a sampler crash must not lose hours)")
     args = ap.parse_args()
+    # default each of ref_psnr/ref_ssim independently so a user-supplied
+    # --ref_ssim survives without --ref_psnr; warn on unknown res pairs
+    # instead of silently positioning against the 16->128 figures
+    _published = {(16, 128): (23.26, 0.675), (64, 512): (19.87, 0.445)}
+    _pub = _published.get((args.l_res, args.r_res))
+    if _pub is None and (not args.ref_psnr or not args.ref_ssim):
+        print(f"WARNING: no published baseline for {args.l_res}->{args.r_res};"
+              " pass --ref_psnr/--ref_ssim to position the result",
+              flush=True)
+        _pub = (0.0, 0.0)
     if not args.ref_psnr:
-        args.ref_psnr, args.ref_ssim = {
-            (16, 128): (23.26, 0.675), (64, 512): (19.87, 0.445),
-        }.get((args.l_res, args.r_res), (23.26, 0.675))
+        args.ref_psnr = _pub[0]
+    if not args.ref_ssim:
+        args.ref_ssim = _pub[1]
 
     import jax
 

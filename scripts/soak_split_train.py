@@ -150,9 +150,13 @@ def main():
         tail = tail[-60:]
         m = it_re.search(line)
         if m:
-            losses.append((int(m.group(1).replace(",", "")), float(m.group(2))))
-            if len(losses) % 10 == 0:
-                flush_curves()
+            it = int(m.group(1).replace(",", ""))
+            # split.py emits each training line twice (logger + stdout echo);
+            # dedupe by iteration so the curve has one point per iter
+            if not losses or it != losses[-1][0]:
+                losses.append((it, float(m.group(2))))
+                if len(losses) % 10 == 0:
+                    flush_curves()
         if psnr_re.search(line):
             val_psnr.append(line.strip())
             print(line.strip(), flush=True)
@@ -170,8 +174,12 @@ def main():
                      "rss_start_mb": rss_curve[0][1],
                      "rss_end_mb": rss_curve[-1][1]}
     iters_reached = losses[-1][0] if losses else 0
+    # rc == -15 (SIGTERM) is the expected end of a time-bounded window;
+    # anything else nonzero is a genuine crash (OOM SIGKILL, traceback)
+    crashed = rc not in (0, -15)
     summary = {
-        "rc": rc, "wall_s": round(wall, 1), "iters_requested": args.iters,
+        "rc": rc, "crashed": crashed,
+        "wall_s": round(wall, 1), "iters_requested": args.iters,
         "iters_reached": iters_reached,
         "iters_per_s": round(iters_reached / wall, 2) if iters_reached else None,
         "patch": args.patch, "batch": args.batch,
@@ -184,10 +192,14 @@ def main():
         json.dump(summary, f, indent=1)
     flush_curves()
     print(json.dumps(summary)[:800], flush=True)
-    if rc != 0:
-        print(f"WARNING: split.py exited rc={rc} at iter {iters_reached} "
-              f"(time-bounded runs end via SIGTERM; curves above are valid)",
+    if rc == -15:
+        print(f"split.py ended via SIGTERM at iter {iters_reached} "
+              f"(expected for time-bounded windows; curves above are valid)",
               flush=True)
+    elif crashed:
+        print(f"ERROR: split.py CRASHED rc={rc} at iter {iters_reached} "
+              f"(see log_tail in soak.json)", flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

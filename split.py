@@ -55,6 +55,26 @@ def _train_flops_per_step(opt):
         return None
 
 
+def _device_pool_eligible(train_set, cap_bytes=4 << 30) -> bool:
+    """Whether the train dataset can ride the device-resident patch pool:
+    a random-patching SplitDataset whose full source stacks fit comfortably
+    on device (cap 4 GB of a v5e's 16 GB HBM — Hagen scale is ~100 MB).
+    Used to AUTO-enable datasets.train.device_pool when the config is silent:
+    the per-iteration host feed leaks host RAM through the axon tunnel
+    (~54.6 GB/h measured, results/soak_split), so long runs must not default
+    to it."""
+    if not getattr(train_set, "_random_patching", False):
+        return False
+    dd = getattr(train_set, "_data_dict", None)
+    if not dd or 0 not in dd or 1 not in dd:
+        return False
+    try:  # pool stores stacks as float32 regardless of source dtype
+        nbytes = 4 * sum(np.asarray(f).size for f in list(dd[0]) + list(dd[1]))
+    except Exception:  # ragged/lazy frames: stay on the host path
+        return False
+    return nbytes <= cap_bytes
+
+
 def add_git_info(opt):
     """Record git provenance in the config (reference split.py:20-27)."""
     try:
@@ -206,7 +226,21 @@ def main():
     parser.add_argument("-log_wandb_ckpt", action="store_true")
     parser.add_argument("-log_eval", action="store_true")
     parser.add_argument("-rootdir", type=str, default=None)
+    parser.add_argument("--check_data", action="store_true",
+                        help="fail-fast dataset-layout validation: verify "
+                             "the config's Hagen TIFF stacks load with the "
+                             "expected shape/pairing, print the parity-run "
+                             "commands, and exit (no training, no experiment "
+                             "dir)")
     args = parser.parse_args()
+
+    if args.check_data:
+        from diffsplitting_tpu.config.loader import dict_to_nonedict, load_json
+        from diffsplitting_tpu.data.check import run_check
+
+        raise SystemExit(
+            0 if run_check(args.config, dict_to_nonedict(load_json(args.config)))
+            else 1)
 
     opt = Logger.parse(args)
 
@@ -251,18 +285,35 @@ def main():
         # Device-resident patch pool (datasets.train.device_pool): draw every
         # batch on device from one upfront stack upload instead of a fresh
         # host->device put per iteration (which the axon tunnel leaks —
-        # ~63 GB/h measured at 128px b8, results/soak_split).
-        if opt["datasets"]["train"].get("device_pool"):
+        # ~54.6 GB/h measured over the full 40k soak at 128px b8,
+        # results/soak_split). AUTO-ENABLED when the config doesn't say and
+        # the source stacks fit comfortably on device (long training through
+        # the leaking host path is unsafe by default); set
+        # datasets.train.device_pool: false to force the host loader.
+        use_pool = opt["datasets"]["train"].get("device_pool")
+        if use_pool is None:
+            use_pool = _device_pool_eligible(train_set)
+            if use_pool:
+                logger.info(
+                    "device_pool auto-enabled (random-patch dataset, stacks "
+                    "fit on device); set datasets.train.device_pool: false "
+                    "to opt out")
+        if use_pool:
             from diffsplitting_tpu.data.device_pool import DevicePatchPool
 
             bsz = int(opt["datasets"]["train"]["batch_size"])
             pool = DevicePatchPool(
                 train_set, bsz, seed=int(opt["datasets"]["train"].get("pool_seed") or 0),
                 mesh=diffusion.mesh)
+            # FUSED: the batch draw runs inside the train-step jit (one
+            # dispatch per iteration total — a standalone pool.draw() per
+            # iter costs two extra tunnel RPCs and measured SLOWER than the
+            # leaking host loader; results/soak_split_pool round 4)
+            diffusion.attach_pool(pool)
             batches_per_epoch = max(1, len(train_set) // bsz)
-            epoch_batches = lambda: pool.epoch(batches_per_epoch)  # noqa: E731
+            epoch_batches = lambda: iter([None] * batches_per_epoch)  # noqa: E731
             logger.info("device_pool: %d frames resident on device, "
-                        "%d draws/epoch", pool._F, batches_per_epoch)
+                        "%d fused draws/epoch", pool._F, batches_per_epoch)
         else:
             epoch_batches = lambda: train_loader  # noqa: E731
         while current_step < n_iter:
@@ -272,7 +323,8 @@ def main():
                 if current_step > n_iter:
                     break
                 with timer.step():
-                    diffusion.feed_data(train_data)
+                    if train_data is not None:
+                        diffusion.feed_data(train_data)
                     diffusion.optimize_parameters()
 
                 if current_step % int(opt["train"]["print_freq"]) == 0:

@@ -162,6 +162,36 @@ def test_mesh_sharded_output(synth):
     assert tuple(spec)[:1] == ("data",), spec
 
 
+def test_fused_pool_train_step(synth):
+    """attach_pool: the patch draw runs INSIDE the train-step jit (one
+    dispatch per iteration — no feed_data, no standalone draw). Loss must be
+    finite and the whole fused pipeline deterministic under fixed seeds."""
+    from diffsplitting_tpu.train import DiffusionModel
+
+    from tests.test_trainer import tiny_opt
+
+    ds = make_ds(patch_size=8)
+
+    def run(n):
+        m = DiffusionModel(tiny_opt("indi", in_ch=2, out_ch=2), seed=0)
+        m.attach_pool(DevicePatchPool(ds, batch_size=4, seed=3, mesh=m.mesh))
+        for _ in range(n):
+            m.optimize_parameters()  # no feed_data — draw is in-jit
+        return m
+
+    m1, m2 = run(3), run(3)
+    assert np.isfinite(float(m1.get_current_log()["l_pix"]))
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # detach restores the feed_data path
+    m1.attach_pool(None)
+    m1.feed_data({"input": np.zeros((4, 8, 8, 1), np.float32),
+                  "target": np.zeros((4, 8, 8, 2), np.float32)})
+    m1.optimize_parameters()
+    assert np.isfinite(float(m1.get_current_log()["l_pix"]))
+
+
 def test_split_cli_device_pool(tmp_path):
     """split.py end-to-end with datasets.train.device_pool: true (the
     production wiring: pool draws feed feed_data/optimize_parameters)."""
