@@ -52,7 +52,11 @@ def bench_config(args):
         opt["model"]["compute_dtype"] = "bfloat16"
     if args.remat:
         opt["model"]["remat"] = True
+    if args.no_remat:
+        opt["model"]["remat"] = False
+        opt["model"].pop("remat_min_res", None)
     if args.remat_min_res:
+        opt["model"]["remat"] = True
         opt["model"]["remat_min_res"] = args.remat_min_res
     if args.dropout >= 0:
         opt["model"]["unet"]["dropout"] = args.dropout
@@ -84,6 +88,23 @@ def bench_config(args):
 
     jax.block_until_ready(model.params)
 
+    if args.trace:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from trace_summary import capture, summarize
+
+        with capture(args.trace):
+            model.optimize_parameters()
+            jax.block_until_ready(model.params)
+        try:
+            rows = summarize(args.trace, top=20)
+            for pl, d in rows.items():
+                print(f"[trace {pl}] total {d['total_ms']}ms "
+                      f"top5: {d['ops'][:5]}", flush=True)
+            with open(os.path.join(args.trace, "summary.json"), "w") as f:
+                json.dump(rows, f, indent=1)
+        except Exception as e:
+            print("trace parse failed:", repr(e), flush=True)
+
     t0 = time.perf_counter()
     for _ in range(args.reps):
         model.optimize_parameters()
@@ -105,8 +126,9 @@ def bench_config(args):
         "extra": {"step_time_ms": round(dt * 1e3, 2), "mfu": round(mfu, 4),
                   "imgs_per_sec": round(args.batch / dt, 2),
                   "flops_per_step": flops, "bf16": args.bf16,
-                  "remat": bool(args.remat), "batch": args.batch,
-                  "remat_min_res": int(args.remat_min_res),
+                  "remat": bool(opt["model"].get("remat")),  # resolved value
+                  "batch": args.batch,
+                  "remat_min_res": int(opt["model"].get("remat_min_res") or 0),
                   "dropout": float(u["dropout"] or 0.0),
                   "ema": bool((opt.get("train") or {}).get("ema_scheduler")),
                   "image_size": size, "backend": jax.devices()[0].platform},
@@ -148,6 +170,12 @@ def main():
                          "probe: threefry per-element dropout-mask bits are "
                          "VPU-bound; rbg uses the hardware RNG)")
     ap.add_argument("--out", default=None, help="also append JSON to file")
+    ap.add_argument("--no_remat", action="store_true",
+                    help="force remat OFF even if the config ships it on "
+                         "(512² HBM-fit probe)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a device trace of ONE train step into DIR "
+                         "and print the top fusions (trace_summary.py)")
     args = ap.parse_args()
 
     if args.config:
