@@ -145,7 +145,34 @@ def load_checkpoint(
 
         if with_ema and not _checkpoint_has_key(ckptr, opt_path, "ema"):
             abstract_opt.pop("ema")  # pre-EMA checkpoint
-        restored = _restore_opt(abstract_opt)
+        try:
+            restored = _restore_opt(abstract_opt)
+        except ValueError as err:
+            if "structures do not match" not in str(err):
+                raise
+            # The on-disk optimizer state was written by a model with a
+            # different optimizer-wrapper stack (e.g. trained with grad_clip's
+            # clip-EMA chain, reloaded by a bare-Adam model, or vice versa).
+            # Params/EMA/step are still valid; partial-restore those and hand
+            # the caller opt_state=None (fresh optimizer) instead of crashing.
+            import warnings
+
+            warnings.warn(
+                f"optimizer state in {opt_path} does not match this model's "
+                "optimizer chain; restoring step/EMA only — optimizer state "
+                f"will be re-initialized. Mismatch: {err}"
+            )
+            subset = {k: v for k, v in abstract_opt.items() if k != "optimizer"}
+            if legacy_opt:
+                subset = _rename_blocks(subset, to_legacy=True)
+            ptc = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+            restored = ptc.restore(
+                opt_path,
+                args=ocp.args.PyTreeRestore(item=subset, partial_restore=True),
+            )
+            if legacy_opt:
+                restored = _rename_blocks(restored, to_legacy=False)
+            restored["optimizer"] = None
         opt_state = restored["optimizer"]
         epoch = int(restored["epoch"])
         step = int(restored["iter"])

@@ -269,8 +269,13 @@ def main():
     if model.opt["model"].get("remat"):
         # remat only pays during training (backward); at inference it bloats
         # the 2000-step scan program. Rebuild remat-free from the checkpoint.
+        # grad_clip must match the training run: the checkpoint's _opt payload
+        # holds the full optimizer-chain state (clip-EMA + Adam), and orbax
+        # restores into an abstract tree built from THIS model's chain — a
+        # bare-Adam rebuild cannot restore a clip+Adam checkpoint.
         opt2 = build_opt(f"{args.workdir}/ckpt", args.config, lr=args.lr,
-                         remat=False, bf16=args.bf16, ema=args.ema)
+                         remat=False, bf16=args.bf16, ema=args.ema,
+                         grad_clip=args.grad_clip)
         opt2["model"]["remat"] = False
         opt2["path"]["resume_state"] = os.path.join(
             f"{args.workdir}/ckpt", f"I{args.iters}_E0")
