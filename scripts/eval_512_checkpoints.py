@@ -100,10 +100,22 @@ def main():
     modes = [("exact", lambda: (model.set_ddim(None), model.set_deepcache(None))),
              (f"ddim{S}x dc{K}", lambda: (model.set_ddim(int(S), float(eta)),
                                           model.set_deepcache(K, D)))]
+    # resume across tunnel outages: rows already in --out are skipped, so a
+    # supervisor relaunch (flaky_tunnel_supervisor.py) only re-scores what's
+    # missing instead of re-walking the whole sweep
     table = {}
+    if args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            table = json.load(f).get("table", {})
+        done = sum(len(v) for v in table.values())
+        if done:
+            print(f"resuming: {done} rows already scored in {args.out}",
+                  flush=True)
     for mode_name, enable in modes:
         enable()
         for it, prefix in cks:
+            if table.get(str(it), {}).get(mode_name):
+                continue  # scored before an outage relaunch
             params, _, _, _, ema = load_checkpoint(
                 prefix, model.params,
                 model.opt_state if args.ema > 0 else None,
