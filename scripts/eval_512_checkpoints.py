@@ -54,6 +54,10 @@ def main():
                          "(0: raw weights)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--min_iter", type=int, default=0)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated iter list (e.g. '10000,12000') to "
+                         "score just those checkpoints — for re-scoring the "
+                         "sweep's peak on the full face set")
     args = ap.parse_args()
 
     import jax
@@ -77,6 +81,9 @@ def main():
         m = re.match(r"I(\d+)_E(\d+)_gen$", os.path.basename(d))
         if m and int(m.group(1)) >= args.min_iter:
             cks.append((int(m.group(1)), d[: -len("_gen")]))
+    if args.only:
+        keep = {int(v) for v in args.only.split(",")}
+        cks = [(i, p) for i, p in cks if i in keep]
     cks.sort()
     assert cks, f"no checkpoints under {ckpt_dir}"
     print(f"{len(cks)} checkpoints: {[i for i, _ in cks]}", flush=True)
