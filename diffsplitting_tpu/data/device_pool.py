@@ -5,7 +5,7 @@ host every iteration and ships it to the device (torch DataLoader feeding
 CUDA; /root/reference/split.py:141-270 + data/split_dataset.py:227-278).
 Through the axon TPU tunnel that per-iteration host->device put (a) costs
 wall time in the hot loop and (b) LEAKS its payload in host RAM — the 40k
-soak (results/soak_split) measured ~63 GB/hour at 128-px batch-8, i.e.
+soak (results/soak_split) measured 54.6 GB/hour at 128-px batch-8, i.e.
 ~the full batch payload retained per put.
 
 `DevicePatchPool` replaces per-iteration transfers with ONE upload: the
