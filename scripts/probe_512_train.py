@@ -49,19 +49,35 @@ def padded_config() -> str:
     return path
 
 
-def run(tag, extra, timeout=2400):
+def run(tag, extra, timeout=2400, config=CFG):
+    """One bench leg. Resumable: a leg that already produced its .jsonl is
+    skipped, and a leg that failed twice (tunnel outage windows count) is
+    abandoned — so the driver can ride flaky_tunnel_supervisor relaunches."""
     out = os.path.join(OUT, f"{tag}.jsonl")
-    cmd = [sys.executable, "scripts/bench_train.py", "--config", CFG,
+    if os.path.exists(out):
+        print(f">>> {tag}: done earlier, skipping", flush=True)
+        return True
+    strikes = os.path.join(OUT, f"{tag}.FAILED2.log")
+    if os.path.exists(strikes):
+        print(f">>> {tag}: failed twice, abandoning", flush=True)
+        return False
+    cmd = [sys.executable, "scripts/bench_train.py", "--config", config,
            "--batch", "4", "--reps", "10", "--out", out, *extra]
     print(">>>", tag, " ".join(cmd), flush=True)
-    r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
-                       timeout=timeout)
-    tail = (r.stdout + r.stderr)[-1500:]
+    try:
+        r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                           timeout=timeout)
+        tail, ok = (r.stdout + r.stderr)[-1500:], r.returncode == 0
+    except subprocess.TimeoutExpired as e:
+        tail, ok = f"TIMEOUT after {timeout}s (tunnel outage?)", False
+        r = None
     print(tail, flush=True)
-    ok = r.returncode == 0
     if not ok:
-        with open(os.path.join(OUT, f"{tag}.FAILED.log"), "w") as f:
-            f.write(r.stdout + "\n==STDERR==\n" + r.stderr)
+        first = os.path.join(OUT, f"{tag}.FAILED.log")
+        path = strikes if os.path.exists(first) else first
+        with open(path, "w") as f:
+            f.write(tail if r is None
+                    else r.stdout + "\n==STDERR==\n" + r.stderr)
     return ok
 
 
@@ -76,18 +92,20 @@ def main():
     status = {}
     for tag, extra in legs:
         status[tag] = run(tag, extra)
-    pad = padded_config()
-    cmd_pad = [sys.executable, "scripts/bench_train.py", "--config", pad,
-               "--batch", "4", "--reps", "10",
-               "--out", os.path.join(OUT, "pad_level0.jsonl")]
-    print(">>> pad_level0", " ".join(cmd_pad), flush=True)
-    r = subprocess.run(cmd_pad, cwd=REPO, capture_output=True, text=True,
-                       timeout=2400)
-    print((r.stdout + r.stderr)[-1500:], flush=True)
-    status["pad_level0"] = r.returncode == 0
-    with open(os.path.join(OUT, "status.json"), "w") as f:
-        json.dump(status, f, indent=1)
-    print("PROBE_512_DONE", json.dumps(status), flush=True)
+    status["pad_level0"] = run("pad_level0", [], config=padded_config())
+    # status.json is the supervisor's done-file: only write it when every
+    # leg is RESOLVED (data on disk, or abandoned after two strikes) so an
+    # outage-interrupted sweep gets relaunched instead of declared done
+    resolved = all(
+        os.path.exists(os.path.join(OUT, f"{t}.jsonl"))
+        or os.path.exists(os.path.join(OUT, f"{t}.FAILED2.log"))
+        for t in status
+    )
+    if resolved:
+        with open(os.path.join(OUT, "status.json"), "w") as f:
+            json.dump(status, f, indent=1)
+    print("PROBE_512_DONE" if resolved else "PROBE_512_INCOMPLETE",
+          json.dumps(status), flush=True)
 
 
 if __name__ == "__main__":
