@@ -122,8 +122,12 @@ def main():
         t0 = time.perf_counter()
         for r in range(args.reps):
             out = jfn(params, cond, jax.random.fold_in(rng, r))
-        out.block_until_ready()
+        jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / args.reps
+        # caveat (measured round 5): through the tunnel the b32 leg once
+        # returned from block_until_ready before execution (0.001 s/chain);
+        # the device trace carries the real number — trust trace_b{B} when
+        # the timed read is implausible (MFU >100%)
         mfu = 100 * flops_per_step(B) / (dt / SCAN_T) / peak()
         res["legs"][f"scan{SCAN_T}_b{B}"] = {
             "s_per_chain": round(dt, 4),
